@@ -1,0 +1,214 @@
+"""Host-side graph/CSR preprocessing ops.
+
+TPU-native reimplementation of the reference's host preprocessing
+(``matrix.hpp:340-424`` normalize/transpose, ``dist_matrix.hpp:215-259``
+2-D block partitioning) as numpy algorithms, with an optional C++/OpenMP
+fast path (see :mod:`mg_gcn_tpu.native`) for papers100M-scale graphs.
+
+All functions operate on :class:`mg_gcn_tpu.formats.CSRData`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .formats import CSRData
+
+
+def _expand_rows(csr: CSRData) -> np.ndarray:
+    """Per-edge row ids from indptr (edge-parallel COO expansion)."""
+    counts = np.diff(csr.indptr).astype(np.int64)
+    return np.repeat(np.arange(csr.nrows, dtype=np.int64), counts)
+
+
+def normalize(csr: CSRData, axis: bool = False) -> CSRData:
+    """Degree-normalize edge weights, matching reference semantics
+    (matrix.hpp:340-390).
+
+    axis=False: each row is scaled to sum to 1 (row-stochastic).
+    axis=True: each entry is divided by the (weighted) sum of its column
+    — i.e. columns sum to 1 (the GCN in-degree normalization used by the
+    training path, main.cpp:143 / gcn.hpp:947).
+
+    Returns a new CSRData sharing index structure (indices/indptr reused).
+    """
+    try:
+        from . import native
+
+        if native.available():
+            data = native.normalize(csr, axis)
+            return CSRData(csr.indptr, csr.indices, data, csr.shape)
+    except ImportError:
+        pass
+    data = csr.data.astype(np.float32, copy=True)
+    if not axis:
+        row_sum = np.add.reduceat(
+            data, csr.indptr[:-1].astype(np.int64), dtype=np.float64
+        ).astype(np.float32)
+        # reduceat yields garbage for empty rows (it picks the next element);
+        # empty rows have no edges to scale, so the value is unused.
+        rows = _expand_rows(csr)
+        data = data / row_sum[rows]
+    else:
+        col_sum = np.zeros(csr.ncols, dtype=np.float64)
+        np.add.at(col_sum, csr.indices.astype(np.int64), data)
+        data = (data / col_sum[csr.indices.astype(np.int64)]).astype(np.float32)
+    return CSRData(csr.indptr, csr.indices, data.astype(np.float32), csr.shape)
+
+
+def transpose(csr: CSRData) -> CSRData:
+    """CSR transpose via counting sort (reference matrix.hpp:392-424).
+
+    Note: like the reference, the result's rows hold the original column's
+    edges ordered by original row (a stable counting sort).
+    """
+    try:
+        from . import native
+
+        if native.available():
+            return native.transpose(csr)
+    except ImportError:
+        pass
+    n, m = csr.shape
+    cols = csr.indices.astype(np.int64)
+    counts = np.bincount(cols, minlength=m).astype(np.int64)
+    indptr = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    order = np.argsort(cols, kind="stable")
+    rows = _expand_rows(csr)
+    return CSRData(
+        indptr=indptr,
+        indices=rows[order].astype(np.int32),
+        data=csr.data[order],
+        shape=(m, n),
+    )
+
+
+def add_self_loops(csr: CSRData, weight: float = 1.0) -> CSRData:
+    """Add a self edge to every node (skips nodes that already have one)."""
+    sp = csr.to_scipy().tolil()
+    for i in range(csr.nrows):
+        if sp[i, i] == 0:
+            sp[i, i] = weight
+    return CSRData.from_scipy(sp.tocsr())
+
+
+def uniform_partition(n: int, parts: int) -> np.ndarray:
+    """The reference's uniform 1-D partition: p[i] = i*n/P (main.cpp:139-141).
+
+    Returns an array of P+1 boundaries.
+    """
+    return np.array([i * n // parts for i in range(parts + 1)], dtype=np.int64)
+
+
+def partition_blocks(
+    csr: CSRData, row_part: np.ndarray, col_part: np.ndarray
+) -> list[list[CSRData]]:
+    """Split A into a P×Q grid of CSR blocks with rebased column indices.
+
+    Equivalent of the reference dist_row_csr_matrix construction
+    (dist_matrix.hpp:215-259): block[i][j] holds rows [row_part[i],
+    row_part[i+1]) and the columns in [col_part[j], col_part[j+1]), with
+    column indices shifted down by col_part[j].
+    """
+    P = len(row_part) - 1
+    Q = len(col_part) - 1
+    rows = _expand_rows(csr)
+    cols = csr.indices.astype(np.int64)
+    col_block = np.searchsorted(col_part[1:], cols, side="right")
+    out: list[list[CSRData]] = []
+    for i in range(P):
+        r0, r1 = int(row_part[i]), int(row_part[i + 1])
+        e0, e1 = int(csr.indptr[r0]), int(csr.indptr[r1])
+        row_i = rows[e0:e1] - r0
+        col_i = cols[e0:e1]
+        cb_i = col_block[e0:e1]
+        dat_i = csr.data[e0:e1]
+        blocks_i = []
+        for j in range(Q):
+            sel = cb_i == j
+            rj = row_i[sel]
+            cj = col_i[sel] - int(col_part[j])
+            dj = dat_i[sel]
+            nrows_blk = r1 - r0
+            ncols_blk = int(col_part[j + 1] - col_part[j])
+            indptr = np.zeros(nrows_blk + 1, dtype=np.int64)
+            np.cumsum(np.bincount(rj, minlength=nrows_blk), out=indptr[1:])
+            blocks_i.append(
+                CSRData(
+                    indptr=indptr,
+                    indices=cj.astype(np.int32),
+                    data=dj.astype(np.float32),
+                    shape=(nrows_blk, ncols_blk),
+                )
+            )
+        out.append(blocks_i)
+    return out
+
+
+def comm_volume(csr: CSRData, part: np.ndarray) -> np.ndarray:
+    """P×P inter-partition communication volume matrix (prep.py:232-272).
+
+    volume[i][j] = number of distinct columns owned by partition j that
+    partition i's rows reference — i.e. how many feature rows must travel
+    j→i for a row-partitioned SpMM.
+    """
+    P = len(part) - 1
+    rows = _expand_rows(csr)
+    cols = csr.indices.astype(np.int64)
+    row_block = np.searchsorted(part[1:], rows, side="right")
+    col_block = np.searchsorted(part[1:], cols, side="right")
+    vol = np.zeros((P, P), dtype=np.int64)
+    for i in range(P):
+        sel = row_block == i
+        for j in range(P):
+            vol[i, j] = np.unique(cols[sel & (col_block == j)]).size
+    return vol
+
+
+def permute_symmetric(csr: CSRData, perm: np.ndarray) -> CSRData:
+    """Apply the same permutation to rows and columns (prep.py:24-43).
+
+    ``perm`` maps new index -> old index is the numpy convention used by
+    the reference's permutation path: row/col i of the result is row/col
+    perm^-1... The reference uses ``np.argsort(new_order)`` on an identity
+    permutation matrix; we match scipy semantics: result = A[perm][:, perm]
+    where ``perm`` is a random permutation of arange(n) (prep.py:89-93 with
+    p = rng.permutation(n) applied as permute_sparse_matrix(graph, p, p)).
+    """
+    sp = csr.to_scipy()
+    inv = np.argsort(perm)
+    sp = sp[inv][:, inv]
+    sp.sort_indices()
+    return CSRData.from_scipy(sp)
+
+
+def random_graph(
+    n: int,
+    avg_degree: float,
+    seed: int = 0,
+    self_loops: bool = True,
+    weights: str = "ones",
+) -> CSRData:
+    """Synthetic benchmark graph: uniform random edges (Erdős–Rényi-ish).
+
+    Used by bench.py when real datasets (Reddit/OGB) cannot be downloaded.
+    Duplicate edges are merged.
+    """
+    rng = np.random.default_rng(seed)
+    nnz_target = int(n * avg_degree)
+    src = rng.integers(0, n, size=nnz_target, dtype=np.int64)
+    dst = rng.integers(0, n, size=nnz_target, dtype=np.int64)
+    if self_loops:
+        src = np.concatenate([src, np.arange(n, dtype=np.int64)])
+        dst = np.concatenate([dst, np.arange(n, dtype=np.int64)])
+    key = src * n + dst
+    key = np.unique(key)
+    src, dst = key // n, key % n
+    if weights == "ones":
+        data = np.ones(src.shape[0], dtype=np.float32)
+    else:
+        data = rng.random(src.shape[0], dtype=np.float32) + 0.5
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(src, minlength=n), out=indptr[1:])
+    return CSRData(indptr=indptr, indices=dst.astype(np.int32), data=data, shape=(n, n))

@@ -1,0 +1,139 @@
+"""Single-chip training driver: jitted train step + epoch loop.
+
+Equivalent of the reference's single-GPU path (main.cpp:113-133): per epoch
+``train_forward -> backward -> adam_update -> sync``, printing
+``epoch loss acc seconds`` to stderr. Distributed training lives in
+:mod:`mg_gcn_tpu.parallel`.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import sparse
+from .formats import CSRData, Dataset
+from .models.gcn import GCNConfig, init_params, loss_and_grad
+from .nn import adam
+from .ops.spmm import AggPair, COOMat
+from .timers import TimerRegistry
+
+
+def build_agg_pair(
+    graph: CSRData,
+    impl: str = "xla",
+    pre_normalized: bool = False,
+    tile_br: int = 512,
+    tile_bc: int = 512,
+    interpret: bool = False,
+) -> AggPair:
+    """Host preprocessing -> device-resident (Â, Âᵀ) aggregation pair.
+
+    Mirrors the gcn ctor (gcn.hpp:946-954): column-normalize A by in-degree,
+    transpose; the forward aggregation matrix is Âᵀ (row-stochastic), the
+    backward one is Â.
+    """
+    a = graph if pre_normalized else sparse.normalize(graph, axis=True)
+    a_t = sparse.transpose(a)
+    if impl == "pallas":
+        from .ops.spmm_pallas import TiledMat
+
+        make = partial(TiledMat.from_csr, br=tile_br, bc=tile_bc, interpret=interpret)
+    else:
+        make = COOMat.from_csr
+    # forward multiplies by Âᵀ, backward by Â (layer ctor args gcn.hpp:954)
+    return AggPair(fwd=make(a_t), bwd=make(a))
+
+
+def make_train_step(
+    config: GCNConfig,
+    hparams: dict | None = None,
+    optimizer: str = "adam",
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted full train step:
+    (params, opt_state, pair, x, y, mask) -> (params, opt_state, loss, acc).
+    """
+    hp = dict(adam.DEFAULT_HPARAMS)
+    if hparams:
+        hp.update(hparams)
+
+    def step(params, opt_state, pair, x, y, mask):
+        loss, acc, grads = loss_and_grad(params, pair, x, y, config, mask)
+        if optimizer == "adam":
+            params, opt_state = adam.adam_update(params, grads, opt_state, **hp)
+        elif optimizer == "sgd":
+            params = adam.sgd_update(params, grads, hp["lr"], hp["weight_decay"])
+        else:
+            raise ValueError(f"unknown optimizer {optimizer!r}")
+        return params, opt_state, loss, acc
+
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(step, static_argnames=(), donate_argnums=donate_argnums)
+
+
+@dataclass
+class TrainResult:
+    losses: list = field(default_factory=list)
+    accs: list = field(default_factory=list)
+    epoch_seconds: list = field(default_factory=list)
+    params: Any = None
+    opt_state: Any = None
+
+
+def train(
+    dataset: Dataset,
+    hidden: list[int],
+    epochs: int = 20,
+    hparams: dict | None = None,
+    config_kw: dict | None = None,
+    impl: str = "xla",
+    seed: int | None = None,
+    log: bool = True,
+    timers: TimerRegistry | None = None,
+    params: Any = None,
+    opt_state: Any = None,
+) -> TrainResult:
+    """Full-batch training on one chip.
+
+    ``hidden`` is the list of hidden widths (the CLI's d1..dL); the full size
+    schedule becomes [num_features, *hidden, num_labels] like main.cpp:93-98.
+    ``seed=None`` uses the reference's bit-exact seed-99 init.
+    """
+    sizes = (dataset.num_features, *hidden, dataset.num_labels)
+    config = GCNConfig(sizes=tuple(int(s) for s in sizes), **(config_kw or {}))
+    pair = build_agg_pair(dataset.graph, impl=impl)
+    x = jnp.asarray(dataset.features, jnp.float32)
+    y = jnp.asarray(dataset.labels.reshape(-1), jnp.int32)
+    mask = None
+    if config.loss_mask == "train":
+        mask = jnp.asarray(dataset.sets.reshape(-1) == 0)
+
+    if params is None:
+        params = init_params(config, None if seed is None else jax.random.key(seed))
+    if opt_state is None:
+        opt_state = adam.adam_init(params)
+    step = make_train_step(config, hparams)
+
+    result = TrainResult()
+    for e in range(epochs):
+        t0 = time.perf_counter()
+        params, opt_state, loss, acc = step(params, opt_state, pair, x, y, mask)
+        loss, acc = float(loss), float(acc)  # blocks, like ctx.sync()
+        dt = time.perf_counter() - t0
+        result.losses.append(loss)
+        result.accs.append(acc)
+        result.epoch_seconds.append(dt)
+        if timers is not None:
+            timers.record(f"{e}_0_epoch", dt * 1e3)
+        if log:
+            print(f"{e} {loss} {acc} {dt}", file=sys.stderr)
+    result.params, result.opt_state = params, opt_state
+    return result

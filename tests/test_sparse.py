@@ -1,0 +1,97 @@
+"""Host graph-op tests: normalize / transpose / partition vs scipy oracles
+(mirrors test/test_matrix.cpp:78-109 plus dist_matrix block construction)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from mg_gcn_tpu import sparse
+from mg_gcn_tpu.formats import CSRData
+
+
+def rand_csr(n=64, m=None, density=0.1, seed=0):
+    m = m or n
+    mat = sp.random(n, m, density=density, format="csr", random_state=seed, dtype=np.float32)
+    mat.data = (mat.data + 0.5).astype(np.float32)
+    return CSRData.from_scipy(mat)
+
+
+def test_normalize_rows():
+    csr = rand_csr(seed=1)
+    out = sparse.normalize(csr, axis=False).to_dense()
+    sums = out.sum(axis=1)
+    nz = np.diff(csr.indptr) > 0
+    np.testing.assert_allclose(sums[nz], 1.0, rtol=1e-5)
+
+
+def test_normalize_cols():
+    csr = rand_csr(seed=2)
+    out = sparse.normalize(csr, axis=True).to_dense()
+    sums = out.sum(axis=0)
+    nz = sums != 0
+    np.testing.assert_allclose(sums[nz], 1.0, rtol=1e-5)
+
+
+def test_transpose_matches_dense():
+    csr = rand_csr(n=40, m=70, seed=3)
+    t = sparse.transpose(csr)
+    np.testing.assert_allclose(t.to_dense(), csr.to_dense().T)
+    # reference property: stable counting sort keeps row order within columns
+    assert t.shape == (70, 40)
+    tt = sparse.transpose(t)
+    np.testing.assert_allclose(tt.to_dense(), csr.to_dense())
+
+
+def test_partition_blocks_cover():
+    csr = rand_csr(n=48, seed=4)
+    p = sparse.uniform_partition(48, 4)
+    np.testing.assert_array_equal(p, [0, 12, 24, 36, 48])
+    blocks = sparse.partition_blocks(csr, p, p)
+    dense = csr.to_dense()
+    for i in range(4):
+        for j in range(4):
+            blk = blocks[i][j].to_dense()
+            np.testing.assert_allclose(
+                blk, dense[p[i] : p[i + 1], p[j] : p[j + 1]]
+            )
+    total_nnz = sum(blocks[i][j].nnz for i in range(4) for j in range(4))
+    assert total_nnz == csr.nnz
+
+
+def test_uniform_partition_reference_formula():
+    # main.cpp:139-141: p[i] = i*n/P with integer division
+    p = sparse.uniform_partition(10, 3)
+    np.testing.assert_array_equal(p, [0, 3, 6, 10])
+
+
+def test_comm_volume():
+    dense = np.zeros((4, 4), np.float32)
+    dense[0, 2] = 1  # partition 0 needs col 2 (owned by partition 1)
+    dense[0, 3] = 1  # and col 3
+    dense[3, 0] = 1  # partition 1 needs col 0
+    csr = CSRData.from_scipy(sp.csr_matrix(dense))
+    vol = sparse.comm_volume(csr, np.array([0, 2, 4]))
+    np.testing.assert_array_equal(vol, [[0, 2], [1, 0]])
+
+
+def test_permute_symmetric():
+    csr = rand_csr(n=20, seed=5)
+    perm = np.random.default_rng(9).permutation(20)
+    out = sparse.permute_symmetric(csr, perm)
+    dense = csr.to_dense()
+    expected = dense[np.ix_(np.argsort(perm), np.argsort(perm))]
+    np.testing.assert_allclose(out.to_dense(), expected)
+
+
+def test_add_self_loops():
+    csr = rand_csr(n=16, seed=6)
+    out = sparse.add_self_loops(csr)
+    d = out.to_dense()
+    assert np.all(np.diag(d) != 0)
+
+
+def test_random_graph():
+    g = sparse.random_graph(100, avg_degree=8, seed=1)
+    assert g.shape == (100, 100)
+    assert np.all(np.diag(g.to_dense()) == 1)  # self loops
+    assert g.nnz >= 100

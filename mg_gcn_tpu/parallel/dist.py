@@ -1,0 +1,384 @@
+"""1-D row-partitioned distributed training over a JAX device mesh.
+
+TPU-native re-design of the reference's multi-GPU layer (``dist_matrix.hpp``,
+``cuda_utils.hpp:58-92``, ``gcn.hpp`` dist_* twins). The mapping:
+
+* ``dist_row_csr_matrix`` (P×P CSR blocks, dist_matrix.hpp:170-260) →
+  :class:`DistRowMat`: stacked per-(device, round) COO blocks, sharded over a
+  1-D ``"graph"`` mesh axis, with blocks stored in **ring order** (device j's
+  round-s block is column-block (j+s) mod P) so the ring schedule uses static
+  indexing only.
+
+* the double-buffered NCCL-broadcast SpMM pipeline (cuda_utils.hpp:58-92) →
+  two strategies inside ``shard_map``:
+
+  - ``ring``: P rounds of local block-SpMM + ``lax.ppermute`` of the feature
+    block around the ring. The permute of round s+1 is data-independent of
+    round s's SpMM, so XLA's latency-hiding scheduler overlaps them — the
+    TPU analogue of the reference's high-priority comm stream (`-S` off).
+  - ``all_gather``: one ``lax.all_gather`` then a single local SpMM over the
+    full feature matrix (the reference's non-overlapped variant, `-S`).
+
+* ``repl_dn_matrix`` weight replication + gradient allreduce
+  (dist_matrix.hpp:534-639) → replicated params in ``shard_map`` with
+  ``lax.psum`` on weight/bias gradients.
+
+* ``dist_row_softmax_cross_entropy_loss`` (gcn.hpp:890-929) → per-shard
+  softmax/NLL (rows are fully local) with scalar ``psum`` for loss/accuracy.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import compat
+from .. import sparse as host_sparse
+
+compat.install()  # fixes ppermute lowering under shard_map on jax 0.9.0
+from ..formats import CSRData
+from ..models.gcn import GCNConfig
+from ..nn import adam
+from ..ops import elementwise as ew
+from ..ops.softmax_xent import softmax  # row-local pieces
+
+GRAPH_AXIS = "graph"
+
+
+def make_mesh(num_devices: int | None = None, devices=None) -> Mesh:
+    """A 1-D mesh over the graph axis (the reference's GPU ring)."""
+    if devices is None:
+        devices = jax.devices()
+        if num_devices is not None:
+            devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (GRAPH_AXIS,))
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["rows", "cols", "vals"],
+    meta_fields=["n", "parts", "nnz"],
+)
+@dataclass(frozen=True)
+class DistRowMat:
+    """Row-partitioned sparse matrix as ring-ordered padded COO blocks.
+
+    ``rows/cols/vals`` have shape (P, P, E): axis 0 is the owning device
+    (shard axis), axis 1 the ring round; entry [j, s] holds the COO block
+    A[j, (j+s) % P] with row ids local to row-slab j and column ids local to
+    column-block (j+s) % P. Padding entries have val == 0, row = last local
+    row, col = 0.
+    """
+
+    rows: jax.Array
+    cols: jax.Array
+    vals: jax.Array
+    n: int  # global rows (== cols; square)
+    parts: int
+    nnz: int
+
+    @property
+    def rows_per_shard(self) -> int:
+        return self.n // self.parts
+
+    @staticmethod
+    def from_csr(csr: CSRData, parts: int, pad_to: int = 512) -> "DistRowMat":
+        n = csr.nrows
+        if n % parts:
+            raise ValueError(
+                f"n ({n}) must be divisible by the mesh size ({parts}); pad the "
+                "dataset (the reference has the same requirement, "
+                "dist_matrix.hpp:428, and pads in prep.py)"
+            )
+        part = host_sparse.uniform_partition(n, parts)
+        blocks = host_sparse.partition_blocks(csr, part, part)
+        # max nnz over all blocks, padded to a bucket
+        emax = max(
+            max(blocks[j][k].nnz for k in range(parts)) for j in range(parts)
+        )
+        emax = max((emax + pad_to - 1) // pad_to * pad_to, pad_to)
+        m_loc = n // parts
+        rows = np.full((parts, parts, emax), m_loc - 1, np.int32)
+        cols = np.zeros((parts, parts, emax), np.int32)
+        vals = np.zeros((parts, parts, emax), np.float32)
+        for j in range(parts):
+            for s in range(parts):
+                blk = blocks[j][(j + s) % parts]  # ring order
+                e = blk.nnz
+                counts = np.diff(blk.indptr)
+                rows[j, s, :e] = np.repeat(
+                    np.arange(m_loc, dtype=np.int32), counts
+                )
+                cols[j, s, :e] = blk.indices
+                vals[j, s, :e] = blk.data
+        return DistRowMat(
+            rows=jnp.asarray(rows),
+            cols=jnp.asarray(cols),
+            vals=jnp.asarray(vals),
+            n=n,
+            parts=parts,
+            nnz=csr.nnz,
+        )
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass, data_fields=["fwd", "bwd"], meta_fields=[]
+)
+@dataclass
+class DistAggPair:
+    fwd: DistRowMat
+    bwd: DistRowMat
+
+    @staticmethod
+    def from_csr_pair(csr_fwd, csr_bwd, parts, **kw) -> "DistAggPair":
+        return DistAggPair(
+            DistRowMat.from_csr(csr_fwd, parts, **kw),
+            DistRowMat.from_csr(csr_bwd, parts, **kw),
+        )
+
+    def shardings(self, mesh: Mesh):
+        spec = jax.tree.map(
+            lambda _: NamedSharding(mesh, P(GRAPH_AXIS)), self
+        )
+        return spec
+
+
+def _local_block_spmm(rows, cols, vals, b, num_rows):
+    g = b[cols] * vals[:, None].astype(b.dtype)
+    return jax.ops.segment_sum(
+        g, rows, num_segments=num_rows, indices_are_sorted=True
+    )
+
+
+def _ring_perm(parts: int):
+    # device i receives the block previously held by i+1 (upward ring):
+    # src i sends to (i-1) mod P.
+    return [(i, (i - 1) % parts) for i in range(parts)]
+
+
+def dist_aggregate(
+    mat_local: dict, h: jax.Array, parts: int, strategy: str = "ring"
+) -> jax.Array:
+    """Per-device body of the distributed SpMM. ``mat_local`` holds this
+    device's (P, E) ring-ordered arrays; ``h`` is the local (n/P, d) shard.
+
+    C_j = sum_s A[j, (j+s) % P] @ B_{(j+s) % P}.
+    """
+    rows, cols, vals = mat_local["rows"], mat_local["cols"], mat_local["vals"]
+    m_loc = h.shape[0]
+    if strategy == "all_gather":
+        # reference -S path: one bulk exchange, then a single local SpMM
+        # (cuda_utils.hpp:48-55 semantics but with one fused gather)
+        b_full = jax.lax.all_gather(h, GRAPH_AXIS, tiled=True)  # (n, d)
+        j = jax.lax.axis_index(GRAPH_AXIS)
+        block_ids = jnp.mod(j + jnp.arange(parts), parts)  # (P,)
+        cols_glob = cols + block_ids[:, None] * m_loc
+        return _local_block_spmm(
+            rows.reshape(-1), cols_glob.reshape(-1), vals.reshape(-1), b_full, m_loc
+        )
+    if strategy != "ring":
+        raise ValueError(f"unknown dist spmm strategy {strategy!r}")
+    c = jnp.zeros((m_loc, h.shape[1]), h.dtype)
+    b = h
+    perm = _ring_perm(parts)
+    for s in range(parts):
+        c = c + _local_block_spmm(rows[s], cols[s], vals[s], b, m_loc)
+        if s + 1 < parts:
+            # independent of this round's SpMM -> overlappable by XLA
+            b = jax.lax.ppermute(b, GRAPH_AXIS, perm=perm)
+    return c
+
+
+def _dist_layer_forward(layer, meta, pair_local, h, slope, parts, strategy):
+    w, b = layer["W"], layer["b"]
+    if meta["lin_first"]:
+        hw = h @ w + b
+        ahw = dist_aggregate(pair_local["fwd"], hw, parts, strategy)
+    else:
+        hw = dist_aggregate(pair_local["fwd"], h, parts, strategy)
+        ahw = hw @ w + b
+    if meta["activation"]:
+        ahw = ew.leaky_relu(ahw, slope)
+    if meta["res_proj"]:
+        ahw = ahw + h @ layer["Wres"] + layer["bres"]
+    elif meta["res_identity"]:
+        ahw = ahw + h
+    return ahw, dict(h=h, hw=hw, post=ahw)
+
+
+def _dist_layer_backward(
+    layer, meta, pair_local, cache, g, slope, parts, strategy, need_input_grad
+):
+    grads = {}
+    t = g
+    if meta["activation"]:
+        t = ew.leaky_relu_grad(cache["post"], g, slope)
+    w = layer["W"]
+    psum = lambda x: jax.lax.psum(x, GRAPH_AXIS)
+    if meta["lin_first"]:
+        g_hw = (
+            dist_aggregate(pair_local["bwd"], t, parts, strategy)
+            if meta["backward_spmm"]
+            else t
+        )
+        grads["b"] = psum(jnp.sum(g_hw, axis=0, keepdims=True))  # gcn.hpp:236-238
+        grads["W"] = psum(cache["h"].T @ g_hw)  # distᵀ×dist→repl, cuda_utils.hpp:305-313
+        g_out = g_hw @ w.T if need_input_grad else None
+    else:
+        grads["b"] = psum(jnp.sum(t, axis=0, keepdims=True))
+        grads["W"] = psum(cache["h"].T @ t)
+        if need_input_grad:
+            g_hw = t @ w.T
+            g_out = (
+                dist_aggregate(pair_local["bwd"], g_hw, parts, strategy)
+                if meta["backward_spmm"]
+                else g_hw
+            )
+        else:
+            g_out = None
+    if meta["res_proj"]:
+        grads["bres"] = psum(jnp.sum(g, axis=0, keepdims=True))
+        grads["Wres"] = psum(cache["h"].T @ g)
+        if g_out is not None:
+            g_out = g_out + g @ layer["Wres"].T
+    elif meta["res_identity"] and g_out is not None:
+        g_out = g_out + g
+    return grads, g_out
+
+
+def _dist_softmax_xent(logits, y, n_total, mask=None):
+    """Row-local softmax + NLL with psum'd scalars (gcn.hpp:890-929)."""
+    o = softmax(logits)
+    n_loc = logits.shape[0]
+    idx = jnp.arange(n_loc)
+    logp = jnp.log(jnp.maximum(o[idx, y], jnp.finfo(o.dtype).tiny))
+    pred = jnp.argmax(o, axis=-1).astype(jnp.int32)
+    correct = (pred == y).astype(logits.dtype)
+    onehot = jax.nn.one_hot(y, logits.shape[1], dtype=o.dtype)
+    if mask is None:
+        denom = jnp.asarray(n_total, logits.dtype)
+        g = (o - onehot) / denom
+        loss = -jax.lax.psum(jnp.sum(logp), GRAPH_AXIS) / denom
+        acc = jax.lax.psum(jnp.sum(correct), GRAPH_AXIS) / denom
+    else:
+        m = mask.astype(logits.dtype)
+        denom = jnp.maximum(jax.lax.psum(jnp.sum(m), GRAPH_AXIS), 1)
+        g = (o - onehot) * m[:, None] / denom
+        loss = -jax.lax.psum(jnp.sum(logp * m), GRAPH_AXIS) / denom
+        acc = jax.lax.psum(jnp.sum(correct * m), GRAPH_AXIS) / denom
+    return loss, acc, g
+
+
+def dist_loss_and_grad(
+    params: Sequence[dict],
+    pair_local: dict,
+    x: jax.Array,
+    y: jax.Array,
+    config: GCNConfig,
+    n_total: int,
+    parts: int,
+    strategy: str,
+    mask: jax.Array | None,
+):
+    """Per-device forward + reference-parity backward (inside shard_map)."""
+    h = x
+    caches = []
+    for i, layer in enumerate(params):
+        h, cache = _dist_layer_forward(
+            layer, config.layer_meta(i), pair_local, h, config.leaky_slope, parts, strategy
+        )
+        caches.append(cache)
+    loss, acc, g = _dist_softmax_xent(h, y.reshape(-1), n_total, mask)
+    grads: list = [None] * len(params)
+    for i in reversed(range(len(params))):
+        grads[i], g = _dist_layer_backward(
+            params[i],
+            config.layer_meta(i),
+            pair_local,
+            caches[i],
+            g,
+            config.leaky_slope,
+            parts,
+            strategy,
+            need_input_grad=i > 0,
+        )
+    return loss, acc, grads
+
+
+def make_dist_train_step(
+    config: GCNConfig,
+    mesh: Mesh,
+    n_total: int,
+    hparams: dict | None = None,
+    strategy: str = "ring",
+    use_mask: bool = False,
+):
+    """Build the jitted distributed train step.
+
+    Signature: (params, opt_state, pair, x, y[, mask]) -> (params, opt_state,
+    loss, acc) where ``pair`` is a :class:`DistAggPair`, x/y are global
+    (sharded by the returned shardings).
+    """
+    try:
+        from jax import shard_map  # jax >= 0.7 stable API
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    hp = dict(adam.DEFAULT_HPARAMS)
+    if hparams:
+        hp.update(hparams)
+    parts = mesh.devices.size
+
+    repl = P()
+    shard_rows = P(GRAPH_AXIS)
+    mat_spec = dict(rows=shard_rows, cols=shard_rows, vals=shard_rows)
+    pair_spec = dict(fwd=mat_spec, bwd=mat_spec)
+    params_spec = [
+        {k: repl for k in ("W", "b", "Wres", "bres") if _layer_has(config, i, k)}
+        for i in range(config.num_layers)
+    ]
+    opt_spec = adam.AdamState(step=repl, m=params_spec, v=params_spec)
+    in_specs = (params_spec, opt_spec, pair_spec, shard_rows, shard_rows)
+    if use_mask:
+        in_specs = in_specs + (shard_rows,)
+    out_specs = (params_spec, opt_spec, repl, repl)
+
+    def step(params, opt_state, pair, x, y, *maybe_mask):
+        mask = maybe_mask[0] if maybe_mask else None
+        pair_local = dict(
+            fwd=dict(rows=pair["fwd"]["rows"][0], cols=pair["fwd"]["cols"][0], vals=pair["fwd"]["vals"][0]),
+            bwd=dict(rows=pair["bwd"]["rows"][0], cols=pair["bwd"]["cols"][0], vals=pair["bwd"]["vals"][0]),
+        )
+        loss, acc, grads = dist_loss_and_grad(
+            params, pair_local, x, y, config, n_total, parts, strategy, mask
+        )
+        params, opt_state = adam.adam_update(params, grads, opt_state, **hp)
+        return params, opt_state, loss, acc
+
+    smapped = shard_map(
+        step, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )
+
+    def wrapper(params, opt_state, pair: DistAggPair, x, y, mask=None):
+        pair_dicts = dict(
+            fwd=dict(rows=pair.fwd.rows, cols=pair.fwd.cols, vals=pair.fwd.vals),
+            bwd=dict(rows=pair.bwd.rows, cols=pair.bwd.cols, vals=pair.bwd.vals),
+        )
+        args = (params, opt_state, pair_dicts, x, y)
+        if use_mask:
+            args = args + (mask,)
+        return smapped(*args)
+
+    return jax.jit(wrapper)
+
+
+def _layer_has(config: GCNConfig, i: int, key: str) -> bool:
+    if key in ("W", "b"):
+        return True
+    return config.layer_meta(i)["res_proj"]

@@ -19,6 +19,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the TPU backend and sets
+# jax_platforms="axon,cpu" regardless of the env var; override via config.
+jax.config.update("jax_platforms", "cpu")
+
 # Parity tests compare against float32 references; keep matmuls in f32.
 jax.config.update("jax_default_matmul_precision", "highest")
 

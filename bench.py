@@ -1,0 +1,105 @@
+"""Headline benchmark: Reddit-scale full-batch GCN training throughput.
+
+Runs BASELINE.md config 1 — a 3-layer hidden-128 full-batch GCN on a
+Reddit-sized graph (n=232,968, nnz≈115M, 608 features, 41 classes) — on the
+available accelerator and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": N}
+
+``value`` is aggregated SpMM edge-throughput per training epoch: the parity
+training step performs 5 SpMM passes over the graph per epoch (3 forward +
+2 backward; layer 0 skips its backward SpMM), so value = 5*nnz/epoch_sec.
+
+``vs_baseline``: the reference repo publishes no numbers (BASELINE.md), so
+the peg is a nominal single-GPU-class 1.4 Gedge/s (a V100/A100-era cuSPARSE
+full-batch GCN epoch of ~0.4 s on Reddit); vs_baseline = value / 1.4e9.
+
+Real Reddit is not downloadable here (zero egress); the graph is synthetic
+uniform-random at identical scale, which for SpMM throughput is the
+worst case (no locality).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N = 232_968
+AVG_DEG = 493  # -> ~115M edges, matching Reddit's nnz=114,848,860
+FEATURES = 608
+CLASSES = 41
+HIDDEN = [128, 128]
+EPOCHS = 4  # 1 warmup + 3 measured
+SPMM_PER_EPOCH = 5
+BASELINE_EDGES_PER_S = 1.4e9
+CACHE = os.path.join(os.path.dirname(__file__), ".bench_cache")
+
+
+def get_graph():
+    from mg_gcn_tpu.formats import CSRData
+    from mg_gcn_tpu.sparse import random_graph
+
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, f"rg_{N}_{AVG_DEG}.npz")
+    if os.path.exists(path):
+        with np.load(path) as d:
+            return CSRData(d["indptr"], d["indices"], d["data"], (N, N))
+    g = random_graph(N, AVG_DEG, seed=1)
+    np.savez(path, indptr=g.indptr, indices=g.indices, data=g.data)
+    return g
+
+
+def main() -> None:
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(CACHE, "jax"))
+    import jax
+    import jax.numpy as jnp
+
+    from mg_gcn_tpu.models.gcn import GCNConfig, init_params
+    from mg_gcn_tpu.nn import adam
+    from mg_gcn_tpu.train import build_agg_pair, make_train_step
+
+    t0 = time.time()
+    graph = get_graph()
+    nnz = graph.nnz
+    print(f"graph ready ({nnz} edges) in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    config = GCNConfig(sizes=(FEATURES, *HIDDEN, CLASSES))
+    pair = build_agg_pair(graph)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((N, FEATURES), np.float32))
+    y = jnp.asarray(rng.integers(0, CLASSES, N).astype(np.int32))
+    params = init_params(config)
+    opt = adam.adam_init(params)
+    step = make_train_step(config)
+    print(f"setup done in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for e in range(EPOCHS):
+        s = time.perf_counter()
+        params, opt, loss, acc = step(params, opt, pair, x, y, None)
+        loss = float(loss)  # forces completion (host read)
+        dt = time.perf_counter() - s
+        times.append(dt)
+        print(f"epoch {e}: loss={loss:.4f} {dt:.3f}s", file=sys.stderr)
+    epoch_s = float(np.median(times[1:]))
+    value = SPMM_PER_EPOCH * nnz / epoch_s
+    print(
+        json.dumps(
+            {
+                "metric": "reddit-scale 3x128 full-batch GCN aggregated SpMM throughput",
+                "value": value,
+                "unit": "edges/s",
+                "vs_baseline": value / BASELINE_EDGES_PER_S,
+                "epoch_seconds": epoch_s,
+                "nnz": nnz,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

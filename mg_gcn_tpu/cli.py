@@ -1,0 +1,276 @@
+"""Command-line interface, mirroring the reference ``mg_gcn`` binary.
+
+Usage (reference main.cpp:50-98):
+
+    python -m mg_gcn_tpu.cli [-h] [-P num] [-R row] [-E epochs] [-S] [-N]
+        train <data_dir> <L> <d1> ... <dL>
+    python -m mg_gcn_tpu.cli pagerank <data_dir>          (capability upgrade)
+
+Flags (same letters/semantics as the reference):
+  -P  number of devices (default 1)
+  -R  1 = row-partitioned distributed mode (required for P > 1, as in the
+      reference where the column path is disabled, main.cpp:171-189)
+  -E  epochs (default 20, main.cpp:52)
+  -S  disable communication overlap -> all_gather exchange strategy
+  -N  "no_wait": force overlap -> ring exchange strategy (the default)
+
+Extras (new capabilities, off by default):
+  --exact        exact autodiff gradients instead of reference-parity backward
+  --mask-train   compute loss over the train set only (reference uses all rows)
+  --lr/--wd/--b1/--b2/--eps-adam   optimizer hyperparameters
+  --seed N       jax.random init instead of the reference's seed-99 init
+  --save/--load  checkpoint the params+optimizer pytree
+  --profile DIR  capture a jax.profiler trace of the run
+
+Per-epoch output is ``epoch loss acc seconds`` on stderr and a per-phase
+timer CSV under ``csvs/`` (main.cpp:100-111 conventions).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mg_gcn_tpu",
+        description="TPU-native multi-device full-batch GCN training framework",
+    )
+    p.add_argument("-P", type=int, default=1, metavar="num", help="number of devices")
+    p.add_argument("-R", type=int, default=0, metavar="row", help="enable row partition")
+    p.add_argument("-E", type=int, default=20, metavar="epochs", help="number of epochs")
+    p.add_argument("-S", action="store_true", help="disable comm overlap (all_gather)")
+    p.add_argument("-N", action="store_true", help="no-wait: force overlap (ring)")
+    p.add_argument("--exact", action="store_true", help="exact autodiff gradients")
+    p.add_argument("--mask-train", action="store_true", help="loss on train set only")
+    p.add_argument("--impl", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--wd", type=float, default=5e-4)
+    p.add_argument("--b1", type=float, default=0.9)
+    p.add_argument("--b2", type=float, default=0.999)
+    p.add_argument("--eps-adam", type=float, default=1e-8)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--save", metavar="PATH", help="write checkpoint after training")
+    p.add_argument("--load", metavar="PATH", help="resume from checkpoint")
+    p.add_argument("--profile", metavar="DIR", help="jax.profiler trace directory")
+    p.add_argument("--csv-dir", default="csvs")
+    p.add_argument("command", help="train | pagerank")
+    p.add_argument("args", nargs="*", help="command arguments")
+    return p
+
+
+def _csv_name(data_dir: str, sizes, P: int) -> str:
+    # main.cpp:100-111: dataset dir name (prefixed "permuted_" when under a
+    # permuted/ directory) + sizes + device count
+    parts = [s for s in os.path.normpath(data_dir).split(os.sep) if s]
+    name = ""
+    permuted = False
+    for s in parts:
+        if s == "permuted":
+            permuted = True
+        else:
+            name = ("permuted_" if permuted else "") + s
+    for s in sizes:
+        name += f"_{s}"
+    return f"{name}_{P}.csv"
+
+
+def cmd_train(opts) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from .formats import Dataset
+    from .models.gcn import GCNConfig, init_params
+    from .nn import adam
+    from .timers import TimerRegistry, trace
+
+    if len(opts.args) < 2:
+        print("train requires: <data_dir> <L> <d1> ... <dL>", file=sys.stderr)
+        return 2
+    data_dir = opts.args[0]
+    num_sizes = int(opts.args[1])
+    hidden = [int(x) for x in opts.args[2 : 2 + num_sizes]]
+    if len(hidden) != num_sizes:
+        print(f"expected {num_sizes} layer sizes", file=sys.stderr)
+        return 2
+
+    ds = Dataset.load(data_dir)
+    print(f"{ds.num_nodes} {ds.graph.nnz}", file=sys.stderr)
+    num_labels = ds.num_labels
+    print(f"num_labels = {num_labels}", file=sys.stderr)
+    print(f"feature size = {ds.num_features}", file=sys.stderr)
+
+    P = opts.P
+    sizes = [ds.num_features, *hidden, num_labels]
+    if P > 1:
+        sizes[-1] = (sizes[-1] + P - 1) // P * P  # main.cpp:135
+
+    hparams = dict(
+        lr=opts.lr, beta1=opts.b1, beta2=opts.b2, weight_decay=opts.wd, eps=opts.eps_adam
+    )
+    config = GCNConfig(
+        sizes=tuple(sizes),
+        parity=not opts.exact,
+        loss_mask="train" if opts.mask_train else "all",
+    )
+    timers = TimerRegistry()
+    os.makedirs(opts.csv_dir, exist_ok=True)
+    csv_path = os.path.join(opts.csv_dir, _csv_name(data_dir, sizes, P))
+
+    key = None if opts.seed is None else jax.random.key(opts.seed)
+    params = init_params(config, key)
+    opt_state = adam.adam_init(params)
+    if opts.load:
+        from .checkpoint import load_checkpoint
+
+        params, opt_state = load_checkpoint(opts.load, (params, opt_state))
+
+    with trace(opts.profile):
+        if P <= 1:
+            rc = _train_single(opts, ds, config, hparams, params, opt_state, timers)
+        else:
+            if not opts.R:
+                print(
+                    "P > 1 requires -R 1 (row partition); the column path is "
+                    "not provided (disabled in the reference too, "
+                    "main.cpp:171-189)",
+                    file=sys.stderr,
+                )
+                return 2
+            rc = _train_dist(opts, ds, config, hparams, params, opt_state, timers)
+    params, opt_state, code = rc
+    if code == 0:
+        with open(csv_path, "w") as f:
+            timers.dump(f)
+    if code == 0 and opts.save:
+        from .checkpoint import save_checkpoint
+
+        save_checkpoint(opts.save, (params, opt_state))
+    return code
+
+
+def _train_single(opts, ds, config, hparams, params, opt_state, timers):
+    import jax.numpy as jnp
+
+    from .train import build_agg_pair, make_train_step
+
+    with timers.span("0_preprocess"):
+        pair = build_agg_pair(ds.graph, impl=opts.impl)
+        x = jnp.asarray(ds.features, jnp.float32)
+        y = jnp.asarray(ds.labels.reshape(-1).astype(np.int32))
+        mask = (
+            jnp.asarray(ds.sets.reshape(-1) == 0) if config.loss_mask == "train" else None
+        )
+    step = make_train_step(config, hparams)
+    for e in range(opts.E):
+        t0 = time.perf_counter()
+        params, opt_state, loss, acc = step(params, opt_state, pair, x, y, mask)
+        loss, acc = float(loss), float(acc)
+        dt = time.perf_counter() - t0
+        timers.record(f"{e}_0_epoch", dt * 1e3)
+        print(f"{e} {loss} {acc} {dt}", file=sys.stderr)
+    return params, opt_state, 0
+
+
+def _train_dist(opts, ds, config, hparams, params, opt_state, timers):
+    import jax
+    import jax.numpy as jnp
+
+    from . import sparse as host_sparse
+    from .parallel import dist
+
+    P = opts.P
+    if len(jax.devices()) < P:
+        print(
+            f"requested -P {P} but only {len(jax.devices())} devices visible",
+            file=sys.stderr,
+        )
+        return params, opt_state, 2
+    strategy = "all_gather" if opts.S else "ring"
+    with timers.span("0_preprocess"):
+        n = ds.num_nodes
+        if n % P:
+            print(
+                f"node count {n} not divisible by P={P}; pad the dataset "
+                "(prep pads to multiples of 8 like the reference)",
+                file=sys.stderr,
+            )
+            return params, opt_state, 2
+        a = host_sparse.normalize(ds.graph, axis=True)  # main.cpp:143
+        a_t = host_sparse.transpose(a)
+        mesh = dist.make_mesh(P)
+        dpair = dist.DistAggPair.from_csr_pair(a_t, a, P)
+        x = jnp.asarray(ds.features, jnp.float32)
+        y = jnp.asarray(ds.labels.reshape(-1).astype(np.int32))
+        mask = (
+            jnp.asarray(ds.sets.reshape(-1) == 0) if config.loss_mask == "train" else None
+        )
+    step = dist.make_dist_train_step(
+        config, mesh, n, hparams, strategy=strategy, use_mask=mask is not None
+    )
+    for e in range(opts.E):
+        t0 = time.perf_counter()
+        out = step(params, opt_state, dpair, x, y, *(() if mask is None else (mask,)))
+        params, opt_state, loss, acc = out
+        loss, acc = float(loss), float(acc)
+        dt = time.perf_counter() - t0
+        timers.record(f"{e}_0_epoch", dt * 1e3)
+        print(f"{e} {loss} {acc} {dt}", file=sys.stderr)
+    return params, opt_state, 0
+
+
+def cmd_pagerank(opts) -> int:
+    from .formats import read_pigo_csr
+    from .models.pagerank import pagerank, pagerank_dist
+
+    if not opts.args:
+        print("pagerank requires: <data_dir>", file=sys.stderr)
+        return 2
+    graph = read_pigo_csr(os.path.join(opts.args[0], "graph.bin"))
+    t0 = time.perf_counter()
+    if opts.P > 1:
+        from .parallel import dist
+
+        p = pagerank_dist(graph, dist.make_mesh(opts.P))
+    else:
+        p = pagerank(graph)
+    dt = time.perf_counter() - t0
+    print(f"pagerank n={p.shape[0]} sum={p.sum():.3f} seconds={dt}", file=sys.stderr)
+    out = opts.save or "pagerank.bin"
+    from .formats import write_dense
+
+    write_dense(out, p.reshape(-1, 1), np.float32)
+    print(f"wrote {out}", file=sys.stderr)
+    return 0
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (first TPU compile through the remote
+    AOT service can take minutes; cached recompiles take seconds)."""
+    if os.environ.get("MG_GCN_NO_COMPILE_CACHE"):
+        return
+    cache = os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "mg_gcn_tpu", "jax"),
+    )
+    os.makedirs(cache, exist_ok=True)
+
+
+def main(argv=None) -> int:
+    _enable_compile_cache()
+    opts = build_parser().parse_args(argv)
+    if opts.command == "train":
+        return cmd_train(opts)
+    if opts.command == "pagerank":
+        return cmd_pagerank(opts)
+    print(f"Unknown command: {opts.command}", file=sys.stderr)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,129 @@
+"""CLI + checkpoint + graft-entry tests (driver-visible surfaces)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(
+    os.environ,
+    JAX_PLATFORMS="cpu",
+    XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+)
+
+
+def run_cli(args, cwd):
+    # -c shim: the axon sitecustomize overrides JAX_PLATFORMS, so force cpu
+    # through jax.config the way conftest does.
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; from mg_gcn_tpu.cli import main; sys.exit(main(sys.argv[1:]))"
+    )
+    return subprocess.run(
+        [sys.executable, "-c", code, *args],
+        env=ENV,
+        cwd=cwd,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+
+
+@pytest.fixture(scope="module")
+def toy(tmp_path_factory):
+    d = "/root/reference/test/data/toyA"
+    if not os.path.isdir(d):
+        pytest.skip("toy data missing")
+    return d
+
+
+def test_cli_train_single(toy, tmp_path):
+    r = run_cli(["-E", "3", "train", toy, "1", "8"], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    lines = [l for l in r.stderr.splitlines() if l and l[0].isdigit()]
+    assert len(lines) >= 3
+    # epoch loss acc seconds
+    parts = lines[-1].split()
+    assert len(parts) == 4
+    # timer CSV written
+    csvs = list((tmp_path / "csvs").iterdir())
+    assert csvs, "no timer csv written"
+
+
+def test_cli_train_dist(toy, tmp_path):
+    r = run_cli(["-P", "4", "-R", "1", "-E", "2", "train", toy, "1", "8"], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    lines = [l for l in r.stderr.splitlines() if l and l[0].isdigit()]
+    assert len(lines) >= 2
+
+
+def test_cli_dist_requires_R(toy, tmp_path):
+    r = run_cli(["-P", "4", "-E", "1", "train", toy, "1", "8"], cwd=tmp_path)
+    assert r.returncode == 2
+    assert "row partition" in r.stderr
+
+
+def test_cli_checkpoint_roundtrip(toy, tmp_path):
+    ck = tmp_path / "model.ckpt.npz"
+    r = run_cli(
+        ["-E", "2", "--save", str(ck), "train", toy, "1", "8"], cwd=tmp_path
+    )
+    assert r.returncode == 0, r.stderr
+    assert ck.exists()
+    r2 = run_cli(
+        ["-E", "1", "--load", str(ck), "train", toy, "1", "8"], cwd=tmp_path
+    )
+    assert r2.returncode == 0, r2.stderr
+
+
+def test_cli_pagerank(toy, tmp_path):
+    r = run_cli(["pagerank", toy], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "pagerank.bin").exists()
+    from mg_gcn_tpu.formats import read_dense
+
+    p = read_dense(tmp_path / "pagerank.bin", np.float32)
+    assert p.shape == (4, 1)
+    np.testing.assert_allclose(p.sum(), 4.0, rtol=1e-4)
+
+
+def test_checkpoint_module(tmp_path):
+    import jax.numpy as jnp
+
+    from mg_gcn_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    tree = [{"W": jnp.ones((3, 2)), "b": jnp.zeros((1, 2))}]
+    path = tmp_path / "t.npz"
+    save_checkpoint(path, tree)
+    zero_template = [{"W": jnp.zeros((3, 2)), "b": jnp.ones((1, 2))}]
+    back = load_checkpoint(path, zero_template)
+    np.testing.assert_array_equal(np.asarray(back[0]["W"]), np.ones((3, 2)))
+    with pytest.raises(ValueError, match="shape"):
+        load_checkpoint(path, [{"W": jnp.zeros((4, 2)), "b": jnp.ones((1, 2))}])
+
+
+def test_graft_entry_single():
+    sys.path.insert(0, REPO)
+    try:
+        import __graft_entry__ as ge
+        import jax
+
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        assert np.isfinite(np.asarray(out)).all()
+    finally:
+        sys.path.remove(REPO)
+
+
+def test_graft_entry_multichip():
+    sys.path.insert(0, REPO)
+    try:
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
+    finally:
+        sys.path.remove(REPO)

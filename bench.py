@@ -68,7 +68,12 @@ def main() -> None:
     print(f"graph ready ({nnz} edges) in {time.time()-t0:.1f}s", file=sys.stderr)
 
     config = GCNConfig(sizes=(FEATURES, *HIDDEN, CLASSES))
-    pair = build_agg_pair(graph)
+    t0 = time.time()
+    pair = build_agg_pair(graph, impl=os.environ.get("MG_GCN_BENCH_IMPL", "auto"))
+    print(
+        f"agg pair ({type(pair.fwd).__name__}) built in {time.time()-t0:.1f}s",
+        file=sys.stderr,
+    )
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((N, FEATURES), np.float32))
     y = jnp.asarray(rng.integers(0, CLASSES, N).astype(np.int32))

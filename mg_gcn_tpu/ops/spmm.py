@@ -102,8 +102,10 @@ def spmm(mat, B: jax.Array, impl: str | None = None) -> jax.Array:
     (from :mod:`.spmm_pallas`).
     """
     impl = impl or DEFAULT_IMPL
-    from . import spmm_pallas
+    from . import spmm_pallas, spmm_pattern
 
+    if isinstance(mat, spmm_pattern.PatternMat):
+        return spmm_pattern.spmm_pattern(mat, B)
     if isinstance(mat, spmm_pallas.TiledMat):
         return spmm_pallas.spmm_tiled(mat, B)
     if impl == "xla":

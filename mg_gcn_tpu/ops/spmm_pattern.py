@@ -1,0 +1,316 @@
+"""Bit-packed dense-pattern SpMM — the MXU-native aggregation kernel.
+
+TPU v5e has no cross-vreg hardware gather (see PERF.md), so classic
+gather/scatter SpMM formulations run at ~6-12 cycles *per edge*. This kernel
+exploits a structural fact of GCN aggregation instead: the normalized
+adjacency factors as ``binary pattern × diagonal scale``:
+
+    Â = normalize_cols(A) = P · diag(s),  s_j = 1 / in_degree(j)
+
+for the unweighted graphs the reference trains on (prep.py writes data=1.0).
+Both the forward (Âᵀ·B = diag(s)·(Pᵀ·B)) and backward (Â·G = P·(diag(s)·G))
+aggregations therefore need only the *pattern* P, stored bit-packed —
+n²/8 bytes (6.8 GB for Reddit-scale n=233k) — plus a length-n scale vector.
+
+**Strided bit layout**: uint32 word ``pack[i, g*128 + w]`` bit ``b`` holds
+``P[i, g*4096 + b*128 + w]``. A (R, 128-word) VMEM block then unpacks into 32
+*bit-planes* of shape (R, 128) with two VPU ops each (shift, mask) and **zero
+cross-lane movement** — each plane is a contiguous 128-column slice of the
+pattern tile, fed straight to the MXU:
+
+* forward  (C = Pᵀ B): feature-major ``Cf[:, cols_b] += Bf_blk @ plane_b`` —
+  a standard (d, J)·(J, 128) matmul per plane;
+* backward (C = P B): row-major ``C_blk += plane_b @ B[rows_b, :]`` —
+  a standard (O, 128)·(128, d) matmul per plane.
+
+Dense-matmul speed regardless of where the edges are: no gather, no scatter,
+fully static shapes, bf16 (or f32 for exact mode) MXU inputs with f32
+accumulation.
+
+Scope: pattern-representable (binary) adjacencies with n small enough that
+n²/8 fits in HBM (n ≲ 300k single-chip; the distributed row partition divides
+this by the mesh size). Weighted or larger graphs use the COO/XLA path
+(ops/spmm.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats import CSRData
+
+GROUP = 4096  # pattern columns per 128-word group (32 bit-planes x 128 lanes)
+J_FWD = 512  # forward contraction chunk (pattern rows per grid step)
+O_BWD = 512  # backward output chunk (pattern rows per grid step)
+N_ALIGN = GROUP
+
+
+def round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def pack_csr_bits(csr: CSRData, n_pad: int) -> np.ndarray:
+    """Pack the CSR pattern into the strided uint32 layout:
+    P[i, j] -> bit (j%4096)//128 of word pack[i, (j//4096)*128 + j%128].
+    Vectorized via sorted positions + bitwise_or.reduceat."""
+    n = csr.nrows
+    words = n_pad // 32
+    counts = np.diff(csr.indptr).astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+    cols = csr.indices.astype(np.int64)
+    word = (cols // GROUP) * 128 + (cols % 128)
+    bitpos = (cols % GROUP) // 128
+    pos = rows * words + word
+    # For a fixed bit index b every edge has a distinct word position (same
+    # pos + same b would mean a duplicate edge), so each of the 32 bit-planes
+    # can be written with a plain unique-index fancy OR — no sort over the
+    # full position keys, only a radix sort over the 5-bit plane index.
+    flat = np.zeros(n_pad * words, dtype=np.uint32)
+    order = np.argsort(bitpos, kind="stable")  # radix sort on small ints
+    pos_s = pos[order]
+    bounds = np.searchsorted(bitpos[order], np.arange(33))
+    for b in range(32):
+        seg = pos_s[bounds[b] : bounds[b + 1]]
+        if seg.size:
+            flat[seg] |= np.uint32(1 << b)
+    return flat.reshape(n_pad, words)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["pack", "scale"],
+    meta_fields=["n", "n_pad", "nnz", "orientation", "scale_side", "dtype_name"],
+)
+@dataclass(frozen=True)
+class PatternMat:
+    """One aggregation direction over a shared bit-packed pattern.
+
+    orientation "PT": C = scale ⊙ (Pᵀ B)   (GCN forward, scale_side="post")
+    orientation "P":  C = P (scale ⊙ B)     (GCN backward, scale_side="pre")
+    """
+
+    pack: jax.Array  # u32[n_pad, n_pad//32], strided layout
+    scale: jax.Array  # f32[n_pad]
+    n: int
+    n_pad: int
+    nnz: int
+    orientation: str  # "PT" | "P"
+    scale_side: str  # "pre" | "post" | "none"
+    dtype_name: str = "bfloat16"  # MXU input dtype
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype_name)
+
+
+def is_binary(csr: CSRData) -> bool:
+    return bool(np.all(csr.data == 1.0))
+
+
+def pack_bits_on_device(csr: CSRData, n_pad: int, row_chunks: int = 8) -> jax.Array:
+    """Build the packed pattern on the accelerator.
+
+    The host only computes per-edge word positions (int32, ~4 bytes/edge)
+    and ships those; the 6.8-GB-scale bit array is materialized on device by
+    segment-summing power-of-two bit values (exact: every (position, bit)
+    pair is unique, and each 16-bit half stays < 2^16, exact in f32). This
+    sidesteps both the slow first-touch host memory of the sandbox VM and a
+    multi-minute n²/8-byte host->device transfer.
+    """
+    n = csr.nrows
+    words = n_pad // 32
+    counts = np.diff(csr.indptr).astype(np.int32)
+    rows = np.repeat(np.arange(n, dtype=np.int32), counts)
+    cols = csr.indices.astype(np.int32, copy=False)
+    word = ((cols >> 12) << 7) | (cols & 127)  # GROUP=4096 strided layout
+    bitpos = ((cols & (GROUP - 1)) >> 7).astype(np.int32)
+
+    rows_per = n_pad // row_chunks
+    if n_pad % row_chunks:
+        raise ValueError("row_chunks must divide n_pad")
+    seg_count = rows_per * words
+    # uniform chunk size for one compiled scatter
+    chunk_edges = [
+        int(csr.indptr[min((c + 1) * rows_per, n)]) - int(csr.indptr[min(c * rows_per, n)])
+        for c in range(row_chunks)
+    ]
+    emax = max(max(chunk_edges), 1)
+
+    @jax.jit
+    def build_chunk(pos, bit):
+        clamped = jnp.clip(bit, 0, 15)
+        clamped_hi = jnp.clip(bit - 16, 0, 15)
+        val_lo = jnp.where(bit < 16, jnp.int32(1) << clamped, 0).astype(jnp.float32)
+        val_hi = jnp.where(
+            (bit >= 16) & (bit < 32), jnp.int32(1) << clamped_hi, 0
+        ).astype(jnp.float32)
+        lo = jax.ops.segment_sum(val_lo, pos, num_segments=seg_count)
+        hi = jax.ops.segment_sum(val_hi, pos, num_segments=seg_count)
+        packed = (hi.astype(jnp.int32) << 16) | lo.astype(jnp.int32)
+        return packed.reshape(rows_per, words)
+
+    parts = []
+    for c in range(row_chunks):
+        r0 = min(c * rows_per, n)
+        r1 = min((c + 1) * rows_per, n)
+        e0, e1 = int(csr.indptr[r0]), int(csr.indptr[r1])
+        ne = e1 - e0
+        pos = np.empty(emax, np.int32)
+        bit = np.empty(emax, np.int32)
+        pos[:ne] = (rows[e0:e1] - r0) * words + word[e0:e1]
+        bit[:ne] = bitpos[e0:e1]
+        pos[ne:] = seg_count - 1  # padding edges contribute 0
+        bit[ne:] = 33  # outside both halves
+        parts.append(build_chunk(jnp.asarray(pos), jnp.asarray(bit)))
+    return jnp.concatenate(parts, axis=0)
+
+
+def pattern_pair_from_binary_csr(
+    csr: CSRData, dtype: str = "bfloat16", device=None, pack_on_device: bool = True
+) -> tuple[PatternMat, PatternMat]:
+    """Build the (forward Âᵀ·, backward Â·) pair from a *binary* adjacency.
+
+    Mirrors gcn ctor semantics (gcn.hpp:946-954): Â = column-normalized A;
+    forward aggregates with Âᵀ, backward with Â — one shared packed pattern.
+    """
+    if not is_binary(csr):
+        raise ValueError("pattern SpMM needs a binary adjacency (data == 1)")
+    n = csr.nrows
+    n_pad = round_up(n, N_ALIGN)
+    put = lambda x: jax.device_put(x, device) if device is not None else jnp.asarray(x)
+    if pack_on_device:
+        pack = pack_bits_on_device(csr, n_pad)
+    else:
+        pack = put(pack_csr_bits(csr, n_pad).view(np.int32))
+    indeg = np.bincount(csr.indices, minlength=n_pad).astype(np.float64)
+    with np.errstate(divide="ignore"):
+        s = np.where(indeg > 0, 1.0 / indeg, 0.0).astype(np.float32)
+    scale = put(s)
+    fwd = PatternMat(pack, scale, n, n_pad, csr.nnz, "PT", "post", dtype)
+    bwd = PatternMat(pack, scale, n, n_pad, csr.nnz, "P", "pre", dtype)
+    return fwd, bwd
+
+
+def _planes(pack_i32: jax.Array, cdtype):
+    """Yield (b, plane) for the 32 bit-planes of an i32 block.
+
+    Arithmetic >> then &1 reads the same bit as a logical shift; i32->f32 is
+    the cast Mosaic supports (u32->bf16 is not implemented).
+    """
+    for b in range(32):
+        plane = (pack_i32 >> b) & jnp.int32(1)
+        yield b, plane.astype(jnp.float32).astype(cdtype)
+
+
+def _fwd_kernel(b_ref, pack_ref, out_ref, *, cdtype):
+    """Feature-major: Cf[:, g*4096 + b*128 : +128] += Bf(d, J) @ plane_b(J, 128)."""
+    cb = pl.program_id(1)
+
+    @pl.when(cb == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    bf = b_ref[:].astype(cdtype)
+    pack = pack_ref[:].astype(jnp.int32)
+    for b, plane in _planes(pack, cdtype):
+        sl = slice(b * 128, (b + 1) * 128)
+        out_ref[:, sl] += jnp.dot(bf, plane, preferred_element_type=jnp.float32)
+
+
+def _bwd_kernel(b_ref, pack_ref, out_ref, *, cdtype):
+    """Row-major: C(O, d) += plane_b(O, 128) @ B[g*4096 + b*128 : +128, :]."""
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    pack = pack_ref[:].astype(jnp.int32)
+    acc = out_ref[:]
+    for b, plane in _planes(pack, cdtype):
+        blk = b_ref[b * 128 : (b + 1) * 128, :].astype(cdtype)
+        acc += jnp.dot(plane, blk, preferred_element_type=jnp.float32)
+    out_ref[:] = acc
+
+
+def spmm_pattern(mat: PatternMat, b: jax.Array) -> jax.Array:
+    """``C = M @ B`` for row-major B (n, d); returns (n, d) float32."""
+    n, d = b.shape
+    if n != mat.n:
+        raise ValueError(f"B has {n} rows, pattern expects {mat.n}")
+    n_pad = mat.n_pad
+    b = b.astype(jnp.float32)
+    if mat.scale_side == "pre":
+        b = b * mat.scale[:n, None]
+    if mat.orientation == "PT":
+        d_pad = round_up(max(d, 8), 8)
+        bf = jnp.zeros((d_pad, n_pad), jnp.float32)
+        bf = bf.at[:d, :n].set(b.T)
+        cf = _pattern_call_fwd(mat, bf)
+        c = cf[:d, :n].T
+    else:
+        d_pad = round_up(max(d, 8), 8)
+        bm = jnp.zeros((n_pad, d_pad), jnp.float32)
+        bm = bm.at[:n, :d].set(b)
+        cm = _pattern_call_bwd(mat, bm)
+        c = cm[:n, :d]
+    if mat.scale_side == "post":
+        c = c * mat.scale[:n, None]
+    return c
+
+
+def _pattern_call_fwd(mat: PatternMat, bf: jax.Array) -> jax.Array:
+    d_pad, n_pad = bf.shape
+    n_g = n_pad // GROUP
+    n_cb = n_pad // J_FWD
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, cdtype=mat.compute_dtype),
+        grid=(n_g, n_cb),
+        in_specs=[
+            pl.BlockSpec((d_pad, J_FWD), lambda g, cb: (0, cb), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (J_FWD, 128), lambda g, cb: (cb, g), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (d_pad, GROUP), lambda g, cb: (0, g), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((d_pad, n_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * n_pad * d_pad,
+            bytes_accessed=mat.pack.size * 4 + bf.size * 4 * n_g + bf.size * 4,
+            transcendentals=0,
+        ),
+    )(bf, mat.pack)
+
+
+def _pattern_call_bwd(mat: PatternMat, bm: jax.Array) -> jax.Array:
+    n_pad, d_pad = bm.shape
+    n_rb = n_pad // O_BWD
+    n_g = n_pad // GROUP
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, cdtype=mat.compute_dtype),
+        grid=(n_rb, n_g),
+        in_specs=[
+            pl.BlockSpec((GROUP, d_pad), lambda rb, g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (O_BWD, 128), lambda rb, g: (rb, g), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (O_BWD, d_pad), lambda rb, g: (rb, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, d_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * n_pad * d_pad,
+            bytes_accessed=mat.pack.size * 4 + bm.size * 4 * n_rb + bm.size * 4,
+            transcendentals=0,
+        ),
+    )(bm, mat.pack)

@@ -26,20 +26,52 @@ from .ops.spmm import AggPair, COOMat
 from .timers import TimerRegistry
 
 
+PATTERN_MEM_BUDGET = 9e9  # bytes of HBM the packed pattern may occupy
+
+
 def build_agg_pair(
     graph: CSRData,
-    impl: str = "xla",
+    impl: str = "auto",
     pre_normalized: bool = False,
     tile_br: int = 512,
     tile_bc: int = 512,
     interpret: bool = False,
+    pattern_dtype: str = "bfloat16",
 ) -> AggPair:
     """Host preprocessing -> device-resident (Â, Âᵀ) aggregation pair.
 
     Mirrors the gcn ctor (gcn.hpp:946-954): column-normalize A by in-degree,
     transpose; the forward aggregation matrix is Âᵀ (row-stochastic), the
     backward one is Â.
+
+    impl:
+      "auto"    — bit-packed dense-pattern MXU kernel when the adjacency is
+                  binary and n²/8 fits the memory budget (the fast path on
+                  TPU, ~MXU peak; see ops/spmm_pattern.py), else COO/XLA.
+      "pattern" — force the pattern kernel (raises if not applicable).
+      "xla"     — COO gather/segment-sum compiled by XLA.
+      "pallas"  — tiled-ELL Pallas kernel (interpret/debug only on v5e).
     """
+    from .ops import spmm_pattern
+
+    if impl == "auto":
+        import jax
+
+        n_pad = spmm_pattern.round_up(graph.nrows, spmm_pattern.N_ALIGN)
+        fits = n_pad * n_pad / 8 <= PATTERN_MEM_BUDGET
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        impl = (
+            "pattern"
+            if (on_tpu and not pre_normalized and spmm_pattern.is_binary(graph) and fits)
+            else "xla"
+        )
+    if impl == "pattern":
+        if pre_normalized:
+            raise ValueError("pattern impl needs the raw binary adjacency")
+        fwd, bwd = spmm_pattern.pattern_pair_from_binary_csr(
+            graph, dtype=pattern_dtype
+        )
+        return AggPair(fwd=fwd, bwd=bwd)
     a = graph if pre_normalized else sparse.normalize(graph, axis=True)
     a_t = sparse.transpose(a)
     if impl == "pallas":

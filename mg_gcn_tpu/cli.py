@@ -49,6 +49,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--exact", action="store_true", help="exact autodiff gradients")
     p.add_argument("--mask-train", action="store_true", help="loss on train set only")
     p.add_argument("--impl", default="auto", choices=["auto", "pattern", "xla", "pallas"])
+    p.add_argument("--model", default="gcn", choices=["gcn", "sage"])
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--wd", type=float, default=5e-4)
     p.add_argument("--b1", type=float, default=0.9)
@@ -113,17 +114,30 @@ def cmd_train(opts) -> int:
     hparams = dict(
         lr=opts.lr, beta1=opts.b1, beta2=opts.b2, weight_decay=opts.wd, eps=opts.eps_adam
     )
-    config = GCNConfig(
-        sizes=tuple(sizes),
-        parity=not opts.exact,
-        loss_mask="train" if opts.mask_train else "all",
-    )
+    if opts.model == "sage":
+        from .models.sage import SAGEConfig
+
+        config = SAGEConfig(
+            sizes=tuple(sizes),
+            loss_mask="train" if opts.mask_train else "all",
+        )
+    else:
+        config = GCNConfig(
+            sizes=tuple(sizes),
+            parity=not opts.exact,
+            loss_mask="train" if opts.mask_train else "all",
+        )
     timers = TimerRegistry()
     os.makedirs(opts.csv_dir, exist_ok=True)
     csv_path = os.path.join(opts.csv_dir, _csv_name(data_dir, sizes, P))
 
     key = None if opts.seed is None else jax.random.key(opts.seed)
-    params = init_params(config, key)
+    if opts.model == "sage":
+        from .models.sage import init_params as sage_init
+
+        params = sage_init(config, key)
+    else:
+        params = init_params(config, key)
     opt_state = adam.adam_init(params)
     if opts.load:
         from .checkpoint import load_checkpoint
@@ -141,6 +155,9 @@ def cmd_train(opts) -> int:
                     "main.cpp:171-189)",
                     file=sys.stderr,
                 )
+                return 2
+            if opts.model == "sage":
+                print("distributed SAGE is not wired up yet; use -P 1", file=sys.stderr)
                 return 2
             rc = _train_dist(opts, ds, config, hparams, params, opt_state, timers)
     params, opt_state, code = rc
@@ -160,13 +177,18 @@ def _train_single(opts, ds, config, hparams, params, opt_state, timers):
     from .train import build_agg_pair, make_train_step
 
     with timers.span("0_preprocess"):
-        pair = build_agg_pair(ds.graph, impl=opts.impl)
+        if opts.model == "sage":
+            from .models.sage import build_sage_pair
+
+            pair = build_sage_pair(ds.graph, impl=opts.impl)
+        else:
+            pair = build_agg_pair(ds.graph, impl=opts.impl)
         x = jnp.asarray(ds.features, jnp.float32)
         y = jnp.asarray(ds.labels.reshape(-1).astype(np.int32))
         mask = (
             jnp.asarray(ds.sets.reshape(-1) == 0) if config.loss_mask == "train" else None
         )
-    step = make_train_step(config, hparams)
+    step = make_train_step(config, hparams, model=opts.model)
     for e in range(opts.E):
         t0 = time.perf_counter()
         params, opt_state, loss, acc = step(params, opt_state, pair, x, y, mask)

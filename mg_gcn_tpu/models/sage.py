@@ -1,0 +1,116 @@
+"""GraphSAGE (mean aggregator) — BASELINE.md config 4.
+
+A capability extension over the reference (which only ships GCN): each layer
+computes ``h' = act(h·W_self + mean_neighbors(h)·W_neigh + b)``, with the
+mean aggregation expressed as SpMM with the *row*-normalized adjacency
+(normalize(false) in reference terms, matrix.hpp:341-349).
+
+For binary adjacencies the aggregation uses the same bit-packed pattern
+kernel as GCN: row-normalized M = diag(r)·P means M·B = r ⊙ (P·B)
+(orientation "P", post-scale) and Mᵀ·G = Pᵀ·(r ⊙ G) (orientation "PT",
+pre-scale) — one shared packed pattern.
+
+Training uses exact autodiff gradients (there is no reference backward to
+mirror for this model).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import sparse as host_sparse
+from ..formats import CSRData
+from ..nn import init as init_lib
+from ..ops import elementwise as ew
+from ..ops.softmax_xent import softmax_xent
+from ..ops.spmm import AggPair, COOMat, aggregate
+
+
+@dataclass(frozen=True)
+class SAGEConfig:
+    sizes: tuple[int, ...]
+    leaky_slope: float = 0.01
+    loss_mask: str = "all"
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.sizes) - 1
+
+
+def build_sage_pair(graph: CSRData, impl: str = "auto") -> AggPair:
+    """(M, Mᵀ) pair for mean aggregation, M = row-normalized adjacency."""
+    from ..ops import spmm_pattern
+
+    if impl == "auto":
+        n_pad = spmm_pattern.round_up(graph.nrows, spmm_pattern.N_ALIGN)
+        fits = n_pad * n_pad / 8 <= 9e9
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        impl = "pattern" if (on_tpu and spmm_pattern.is_binary(graph) and fits) else "xla"
+    if impl == "pattern":
+        n = graph.nrows
+        n_pad = spmm_pattern.round_up(n, spmm_pattern.N_ALIGN)
+        pack = spmm_pattern.pack_bits_on_device(graph, n_pad)
+        outdeg = np.diff(graph.indptr).astype(np.float64)
+        r = np.zeros(n_pad, np.float32)
+        with np.errstate(divide="ignore"):
+            r[:n] = np.where(outdeg > 0, 1.0 / outdeg, 0.0)
+        scale = jnp.asarray(r)
+        fwd = spmm_pattern.PatternMat(
+            pack, scale, n, n_pad, graph.nnz, "P", "post", "bfloat16"
+        )
+        bwd = spmm_pattern.PatternMat(
+            pack, scale, n, n_pad, graph.nnz, "PT", "pre", "bfloat16"
+        )
+        return AggPair(fwd=fwd, bwd=bwd)
+    m = host_sparse.normalize(graph, axis=False)
+    m_t = host_sparse.transpose(m)
+    return AggPair(fwd=COOMat.from_csr(m), bwd=COOMat.from_csr(m_t))
+
+
+def init_params(config: SAGEConfig, key: jax.Array | None = None) -> list[dict]:
+    params = []
+    for i in range(config.num_layers):
+        in_, out = config.sizes[i], config.sizes[i + 1]
+        if key is None:
+            layer = dict(
+                Wself=jnp.asarray(init_lib.kaiming_uniform_ref(in_, out)),
+                Wneigh=jnp.asarray(init_lib.kaiming_uniform_ref(in_, out)),
+                b=jnp.asarray(init_lib.bias_ref(out)),
+            )
+        else:
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            layer = dict(
+                Wself=init_lib.kaiming_uniform(k1, in_, out),
+                Wneigh=init_lib.kaiming_uniform(k2, in_, out),
+                b=init_lib.bias_uniform(k3, out),
+            )
+        params.append(layer)
+    return params
+
+
+def forward(params: Sequence[dict], pair: AggPair, x: jax.Array, config: SAGEConfig):
+    h = x
+    for i, layer in enumerate(params):
+        neigh = aggregate(pair, h)
+        h = h @ layer["Wself"] + neigh @ layer["Wneigh"] + layer["b"]
+        if i + 1 < config.num_layers:
+            h = ew.leaky_relu(h, config.leaky_slope)
+    return h
+
+
+def loss_fn(params, pair, x, y, config: SAGEConfig, mask=None):
+    logits = forward(params, pair, x, config)
+    out = softmax_xent(logits, y, mask)
+    return out.loss, out.acc
+
+
+def loss_and_grad(params, pair, x, y, config: SAGEConfig, mask=None):
+    (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, pair, x, y, config, mask
+    )
+    return loss, acc, grads

@@ -85,20 +85,30 @@ def build_agg_pair(
 
 
 def make_train_step(
-    config: GCNConfig,
+    config,
     hparams: dict | None = None,
     optimizer: str = "adam",
     donate: bool = True,
+    model: str = "gcn",
 ) -> Callable:
     """Build the jitted full train step:
     (params, opt_state, pair, x, y, mask) -> (params, opt_state, loss, acc).
+
+    ``model`` selects the family: "gcn" (reference-parity or exact, per
+    config.parity) or "sage" (GraphSAGE mean aggregator, exact autodiff).
     """
     hp = dict(adam.DEFAULT_HPARAMS)
     if hparams:
         hp.update(hparams)
+    if model == "gcn":
+        lag = loss_and_grad
+    elif model == "sage":
+        from .models.sage import loss_and_grad as lag  # noqa: F811
+    else:
+        raise ValueError(f"unknown model {model!r}")
 
     def step(params, opt_state, pair, x, y, mask):
-        loss, acc, grads = loss_and_grad(params, pair, x, y, config, mask)
+        loss, acc, grads = lag(params, pair, x, y, config, mask)
         if optimizer == "adam":
             params, opt_state = adam.adam_update(params, grads, opt_state, **hp)
         elif optimizer == "sgd":

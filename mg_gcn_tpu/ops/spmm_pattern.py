@@ -126,11 +126,18 @@ def pack_bits_on_device(csr: CSRData, n_pad: int, row_chunks: int = 8) -> jax.Ar
     """
     n = csr.nrows
     words = n_pad // 32
-    counts = np.diff(csr.indptr).astype(np.int32)
-    rows = np.repeat(np.arange(n, dtype=np.int32), counts)
-    cols = csr.indices.astype(np.int32, copy=False)
-    word = ((cols >> 12) << 7) | (cols & 127)  # GROUP=4096 strided layout
-    bitpos = ((cols & (GROUP - 1)) >> 7).astype(np.int32)
+    try:
+        from .. import native
+
+        use_native = native.available()
+    except ImportError:
+        use_native = False
+    if not use_native:
+        counts = np.diff(csr.indptr).astype(np.int32)
+        rows = np.repeat(np.arange(n, dtype=np.int32), counts)
+        cols = csr.indices.astype(np.int32, copy=False)
+        word = ((cols >> 12) << 7) | (cols & 127)  # GROUP=4096 strided layout
+        bitpos = ((cols & (GROUP - 1)) >> 7).astype(np.int32)
 
     rows_per = n_pad // row_chunks
     if n_pad % row_chunks:
@@ -164,8 +171,13 @@ def pack_bits_on_device(csr: CSRData, n_pad: int, row_chunks: int = 8) -> jax.Ar
         ne = e1 - e0
         pos = np.empty(emax, np.int32)
         bit = np.empty(emax, np.int32)
-        pos[:ne] = (rows[e0:e1] - r0) * words + word[e0:e1]
-        bit[:ne] = bitpos[e0:e1]
+        if use_native:
+            from .. import native
+
+            pos[:ne], bit[:ne] = native.pack_positions(csr, r0, r1, words)
+        else:
+            pos[:ne] = (rows[e0:e1] - r0) * words + word[e0:e1]
+            bit[:ne] = bitpos[e0:e1]
         pos[ne:] = seg_count - 1  # padding edges contribute 0
         bit[ne:] = 33  # outside both halves
         parts.append(build_chunk(jnp.asarray(pos), jnp.asarray(bit)))

@@ -153,6 +153,13 @@ def comm_volume(csr: CSRData, part: np.ndarray) -> np.ndarray:
     partition i's rows reference — i.e. how many feature rows must travel
     j→i for a row-partitioned SpMM.
     """
+    try:
+        from . import native
+
+        if native.available():
+            return native.comm_volume(csr, np.asarray(part, np.int64))
+    except ImportError:
+        pass
     P = len(part) - 1
     rows = _expand_rows(csr)
     cols = csr.indices.astype(np.int64)

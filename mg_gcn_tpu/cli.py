@@ -216,24 +216,56 @@ def _train_dist(opts, ds, config, hparams, params, opt_state, timers):
     strategy = "all_gather" if opts.S else "ring"
     with timers.span("0_preprocess"):
         n = ds.num_nodes
-        if n % P:
-            print(
-                f"node count {n} not divisible by P={P}; pad the dataset "
-                "(prep pads to multiples of 8 like the reference)",
-                file=sys.stderr,
-            )
-            return params, opt_state, 2
-        a = host_sparse.normalize(ds.graph, axis=True)  # main.cpp:143
-        a_t = host_sparse.transpose(a)
         mesh = dist.make_mesh(P)
-        dpair = dist.DistAggPair.from_csr_pair(a_t, a, P)
-        x = jnp.asarray(ds.features, jnp.float32)
-        y = jnp.asarray(ds.labels.reshape(-1).astype(np.int32))
-        mask = (
-            jnp.asarray(ds.sets.reshape(-1) == 0) if config.loss_mask == "train" else None
+        from .ops import spmm_pattern
+        from .train import PATTERN_MEM_BUDGET
+
+        use_pattern = opts.impl in ("auto", "pattern") and (
+            jax.default_backend() in ("tpu", "axon")
+            and spmm_pattern.is_binary(ds.graph)
+            and ds.num_nodes ** 2 / 8 / P <= PATTERN_MEM_BUDGET
         )
+        if opts.impl == "pattern" and not use_pattern:
+            print("pattern impl not applicable here", file=sys.stderr)
+            return params, opt_state, 2
+        np_mask = ds.sets.reshape(-1) == 0 if config.loss_mask == "train" else None
+        if use_pattern:
+            dpair = dist.DistPatternPair.from_binary_csr(ds.graph, P)
+            n_pad = dpair.n_pad
+            x_np = np.zeros((n_pad, ds.num_features), np.float32)
+            x_np[:n] = ds.features
+            y_np = np.zeros(n_pad, np.int32)
+            y_np[:n] = ds.labels.reshape(-1)
+            valid = np.arange(n_pad) < n
+            np_mask = valid if np_mask is None else np.concatenate(
+                [np_mask, np.zeros(n_pad - n, bool)]
+            )
+            x, y = jnp.asarray(x_np), jnp.asarray(y_np)
+            mask = jnp.asarray(np_mask)
+            pair_kind = "pattern"
+        else:
+            if n % P:
+                print(
+                    f"node count {n} not divisible by P={P}; pad the dataset "
+                    "(prep pads to multiples of 8 like the reference)",
+                    file=sys.stderr,
+                )
+                return params, opt_state, 2
+            a = host_sparse.normalize(ds.graph, axis=True)  # main.cpp:143
+            a_t = host_sparse.transpose(a)
+            dpair = dist.DistAggPair.from_csr_pair(a_t, a, P)
+            x = jnp.asarray(ds.features, jnp.float32)
+            y = jnp.asarray(ds.labels.reshape(-1).astype(np.int32))
+            mask = jnp.asarray(np_mask) if np_mask is not None else None
+            pair_kind = "coo"
     step = dist.make_dist_train_step(
-        config, mesh, n, hparams, strategy=strategy, use_mask=mask is not None
+        config,
+        mesh,
+        n,
+        hparams,
+        strategy=strategy,
+        use_mask=mask is not None,
+        pair_kind=pair_kind,
     )
     for e in range(opts.E):
         t0 = time.perf_counter()

@@ -149,6 +149,74 @@ class DistAggPair:
         return spec
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["pack_fwd", "pack_bwd", "scale"],
+    meta_fields=["n", "n_pad", "parts", "m_loc", "dtype_name", "nnz"],
+)
+@dataclass(frozen=True)
+class DistPatternPair:
+    """Row-partitioned bit-packed pattern pair (the fast multi-chip path).
+
+    Per device j (shard axis 0, ring order on axis 1, k_s = (j+s) mod P):
+      pack_fwd[j, s] = bits of P[k_s-row-slab, j-col-slab]  (forward rounds)
+      pack_bwd[j, s] = bits of P[j-row-slab,  k_s-col-slab] (backward rounds)
+      scale[j]       = the diagonal 1/in-degree slab for rows of device j
+    Each slab is m_loc = n_pad/P rows where m_loc is a multiple of the
+    pattern GROUP (4096), so per-device pattern storage is 2·n_pad·m_loc/8
+    bytes — the reference's dist_row_csr_matrix (dist_matrix.hpp:170-260)
+    re-imagined as dense bit tiles.
+    """
+
+    pack_fwd: jax.Array  # i32[P, P, m_loc, m_loc//32]
+    pack_bwd: jax.Array  # i32[P, P, m_loc, m_loc//32]
+    scale: jax.Array  # f32[P, m_loc]
+    n: int
+    n_pad: int
+    parts: int
+    m_loc: int
+    dtype_name: str
+    nnz: int
+
+    @staticmethod
+    def from_binary_csr(
+        csr: CSRData, parts: int, dtype: str = "bfloat16"
+    ) -> "DistPatternPair":
+        from ..ops import spmm_pattern as sp
+
+        if not sp.is_binary(csr):
+            raise ValueError("pattern dist pair needs a binary adjacency")
+        n = csr.nrows
+        m_loc = sp.round_up(-(-n // parts), sp.GROUP)
+        n_pad = m_loc * parts
+        part = np.arange(parts + 1, dtype=np.int64) * m_loc
+        part = np.minimum(part, n)
+        blocks = host_sparse.partition_blocks(csr, part, part)
+        fwd_list, bwd_list = [], []
+        for j in range(parts):
+            fj, bj = [], []
+            for s in range(parts):
+                k = (j + s) % parts
+                fj.append(sp.pack_bits_on_device(blocks[k][j], m_loc, row_chunks=1))
+                bj.append(sp.pack_bits_on_device(blocks[j][k], m_loc, row_chunks=1))
+            fwd_list.append(jnp.stack(fj))
+            bwd_list.append(jnp.stack(bj))
+        indeg = np.bincount(csr.indices, minlength=n_pad).astype(np.float64)
+        with np.errstate(divide="ignore"):
+            s_vec = np.where(indeg > 0, 1.0 / indeg, 0.0).astype(np.float32)
+        return DistPatternPair(
+            pack_fwd=jnp.stack(fwd_list),
+            pack_bwd=jnp.stack(bwd_list),
+            scale=jnp.asarray(s_vec.reshape(parts, m_loc)),
+            n=n,
+            n_pad=n_pad,
+            parts=parts,
+            m_loc=m_loc,
+            dtype_name=dtype,
+            nnz=csr.nnz,
+        )
+
+
 def _local_block_spmm(rows, cols, vals, b, num_rows):
     g = b[cols] * vals[:, None].astype(b.dtype)
     return jax.ops.segment_sum(
@@ -195,13 +263,88 @@ def dist_aggregate(
     return c
 
 
-def _dist_layer_forward(layer, meta, pair_local, h, slope, parts, strategy):
+def dist_aggregate_pattern(
+    pack_local: jax.Array,
+    scale_local: jax.Array,
+    h: jax.Array,
+    parts: int,
+    orientation: str,
+    dtype_name: str = "bfloat16",
+    strategy: str = "ring",
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-device distributed SpMM over per-shard bit-packed patterns.
+
+    ``pack_local`` is this device's (P, m_loc, m_loc/32) ring-ordered pattern
+    blocks (see DistPatternPair), ``scale_local`` the (m_loc,) diagonal slab.
+    Forward ("PT"): C_j = s_j ⊙ Σ_s (P[k_s rows, j cols])ᵀ B_{k_s} — the
+    feature-major kernel, post-scaled. Backward ("P"): pre-scale own shard,
+    circulate, row-major kernel. Strategy "all_gather" trades the ring for
+    one bulk gather (reference -S).
+    """
+    from ..ops import spmm_pattern as sp
+
+    m_loc, d = h.shape
+    d_pad = sp.round_up(max(d, 8), 8)
+    perm = _ring_perm(parts)
+    mat_meta = dict(n=m_loc, n_pad=m_loc, nnz=0, scale_side="none", dtype_name=dtype_name)
+
+    def round_mat(s):
+        return sp.PatternMat(
+            pack=pack_local[s],
+            scale=scale_local,
+            orientation=orientation,
+            **mat_meta,
+        )
+
+    if orientation == "PT":  # forward, feature-major circulation
+        bf0 = jnp.zeros((d_pad, m_loc), jnp.float32).at[:d, :].set(h.T)
+        cf = jnp.zeros((d_pad, m_loc), jnp.float32)
+        if strategy == "all_gather":
+            bf_all = jax.lax.all_gather(bf0, GRAPH_AXIS)  # (P, d_pad, m_loc)
+            j = jax.lax.axis_index(GRAPH_AXIS)
+            for s in range(parts):
+                k = jnp.mod(j + s, parts)
+                cf = cf + sp._pattern_call_fwd(
+                    round_mat(s), jax.lax.dynamic_index_in_dim(bf_all, k, 0, False)
+                )
+        else:
+            bf = bf0
+            for s in range(parts):
+                cf = cf + sp._pattern_call_fwd(round_mat(s), bf)
+                if s + 1 < parts:
+                    bf = jax.lax.ppermute(bf, GRAPH_AXIS, perm=perm)
+        cf = cf * scale_local[None, :]
+        return cf[:d, :].T
+    # backward ("P"), row-major circulation with pre-scaled own shard
+    g0 = jnp.zeros((m_loc, d_pad), jnp.float32).at[:, :d].set(
+        h * scale_local[:, None]
+    )
+    acc = jnp.zeros((m_loc, d_pad), jnp.float32)
+    if strategy == "all_gather":
+        g_all = jax.lax.all_gather(g0, GRAPH_AXIS)
+        j = jax.lax.axis_index(GRAPH_AXIS)
+        for s in range(parts):
+            k = jnp.mod(j + s, parts)
+            acc = acc + sp._pattern_call_bwd(
+                round_mat(s), jax.lax.dynamic_index_in_dim(g_all, k, 0, False)
+            )
+    else:
+        g = g0
+        for s in range(parts):
+            acc = acc + sp._pattern_call_bwd(round_mat(s), g)
+            if s + 1 < parts:
+                g = jax.lax.ppermute(g, GRAPH_AXIS, perm=perm)
+    return acc[:, :d]
+
+
+def _dist_layer_forward(layer, meta, agg_fwd, h, slope):
     w, b = layer["W"], layer["b"]
     if meta["lin_first"]:
         hw = h @ w + b
-        ahw = dist_aggregate(pair_local["fwd"], hw, parts, strategy)
+        ahw = agg_fwd(hw)
     else:
-        hw = dist_aggregate(pair_local["fwd"], h, parts, strategy)
+        hw = agg_fwd(h)
         ahw = hw @ w + b
     if meta["activation"]:
         ahw = ew.leaky_relu(ahw, slope)
@@ -213,7 +356,7 @@ def _dist_layer_forward(layer, meta, pair_local, h, slope, parts, strategy):
 
 
 def _dist_layer_backward(
-    layer, meta, pair_local, cache, g, slope, parts, strategy, need_input_grad
+    layer, meta, agg_bwd, cache, g, slope, need_input_grad
 ):
     grads = {}
     t = g
@@ -222,11 +365,7 @@ def _dist_layer_backward(
     w = layer["W"]
     psum = lambda x: jax.lax.psum(x, GRAPH_AXIS)
     if meta["lin_first"]:
-        g_hw = (
-            dist_aggregate(pair_local["bwd"], t, parts, strategy)
-            if meta["backward_spmm"]
-            else t
-        )
+        g_hw = agg_bwd(t) if meta["backward_spmm"] else t
         grads["b"] = psum(jnp.sum(g_hw, axis=0, keepdims=True))  # gcn.hpp:236-238
         grads["W"] = psum(cache["h"].T @ g_hw)  # distᵀ×dist→repl, cuda_utils.hpp:305-313
         g_out = g_hw @ w.T if need_input_grad else None
@@ -235,11 +374,7 @@ def _dist_layer_backward(
         grads["W"] = psum(cache["h"].T @ t)
         if need_input_grad:
             g_hw = t @ w.T
-            g_out = (
-                dist_aggregate(pair_local["bwd"], g_hw, parts, strategy)
-                if meta["backward_spmm"]
-                else g_hw
-            )
+            g_out = agg_bwd(g_hw) if meta["backward_spmm"] else g_hw
         else:
             g_out = None
     if meta["res_proj"]:
@@ -277,21 +412,24 @@ def _dist_softmax_xent(logits, y, n_total, mask=None):
 
 def dist_loss_and_grad(
     params: Sequence[dict],
-    pair_local: dict,
+    agg_fwd,
+    agg_bwd,
     x: jax.Array,
     y: jax.Array,
     config: GCNConfig,
     n_total: int,
-    parts: int,
-    strategy: str,
     mask: jax.Array | None,
 ):
-    """Per-device forward + reference-parity backward (inside shard_map)."""
+    """Per-device forward + reference-parity backward (inside shard_map).
+
+    ``agg_fwd``/``agg_bwd`` are per-device aggregation closures (COO ring,
+    pattern ring, or all_gather variants).
+    """
     h = x
     caches = []
     for i, layer in enumerate(params):
         h, cache = _dist_layer_forward(
-            layer, config.layer_meta(i), pair_local, h, config.leaky_slope, parts, strategy
+            layer, config.layer_meta(i), agg_fwd, h, config.leaky_slope
         )
         caches.append(cache)
     loss, acc, g = _dist_softmax_xent(h, y.reshape(-1), n_total, mask)
@@ -300,12 +438,10 @@ def dist_loss_and_grad(
         grads[i], g = _dist_layer_backward(
             params[i],
             config.layer_meta(i),
-            pair_local,
+            agg_bwd,
             caches[i],
             g,
             config.leaky_slope,
-            parts,
-            strategy,
             need_input_grad=i > 0,
         )
     return loss, acc, grads
@@ -318,12 +454,17 @@ def make_dist_train_step(
     hparams: dict | None = None,
     strategy: str = "ring",
     use_mask: bool = False,
+    pair_kind: str = "coo",
+    pattern_dtype: str = "bfloat16",
 ):
     """Build the jitted distributed train step.
 
     Signature: (params, opt_state, pair, x, y[, mask]) -> (params, opt_state,
-    loss, acc) where ``pair`` is a :class:`DistAggPair`, x/y are global
-    (sharded by the returned shardings).
+    loss, acc) where ``pair`` is a :class:`DistAggPair` (pair_kind="coo") or
+    a :class:`DistPatternPair` (pair_kind="pattern", the MXU fast path);
+    x/y are global arrays sharded over the graph axis — for the pattern pair
+    they must be padded to ``pair.n_pad`` rows (use a mask to keep loss
+    semantics over the real rows).
     """
     try:
         from jax import shard_map  # jax >= 0.7 stable API
@@ -337,8 +478,13 @@ def make_dist_train_step(
 
     repl = P()
     shard_rows = P(GRAPH_AXIS)
-    mat_spec = dict(rows=shard_rows, cols=shard_rows, vals=shard_rows)
-    pair_spec = dict(fwd=mat_spec, bwd=mat_spec)
+    if pair_kind == "coo":
+        mat_spec = dict(rows=shard_rows, cols=shard_rows, vals=shard_rows)
+        pair_spec = dict(fwd=mat_spec, bwd=mat_spec)
+    elif pair_kind == "pattern":
+        pair_spec = dict(pack_fwd=shard_rows, pack_bwd=shard_rows, scale=shard_rows)
+    else:
+        raise ValueError(f"unknown pair_kind {pair_kind!r}")
     params_spec = [
         {k: repl for k in ("W", "b", "Wres", "bres") if _layer_has(config, i, k)}
         for i in range(config.num_layers)
@@ -351,12 +497,31 @@ def make_dist_train_step(
 
     def step(params, opt_state, pair, x, y, *maybe_mask):
         mask = maybe_mask[0] if maybe_mask else None
-        pair_local = dict(
-            fwd=dict(rows=pair["fwd"]["rows"][0], cols=pair["fwd"]["cols"][0], vals=pair["fwd"]["vals"][0]),
-            bwd=dict(rows=pair["bwd"]["rows"][0], cols=pair["bwd"]["cols"][0], vals=pair["bwd"]["vals"][0]),
-        )
+        if pair_kind == "coo":
+            f = dict(
+                rows=pair["fwd"]["rows"][0],
+                cols=pair["fwd"]["cols"][0],
+                vals=pair["fwd"]["vals"][0],
+            )
+            b = dict(
+                rows=pair["bwd"]["rows"][0],
+                cols=pair["bwd"]["cols"][0],
+                vals=pair["bwd"]["vals"][0],
+            )
+            agg_fwd = lambda h: dist_aggregate(f, h, parts, strategy)
+            agg_bwd = lambda g: dist_aggregate(b, g, parts, strategy)
+        else:
+            pack_fwd = pair["pack_fwd"][0]
+            pack_bwd = pair["pack_bwd"][0]
+            scale = pair["scale"][0]
+            agg_fwd = lambda h: dist_aggregate_pattern(
+                pack_fwd, scale, h, parts, "PT", pattern_dtype, strategy
+            )
+            agg_bwd = lambda g: dist_aggregate_pattern(
+                pack_bwd, scale, g, parts, "P", pattern_dtype, strategy
+            )
         loss, acc, grads = dist_loss_and_grad(
-            params, pair_local, x, y, config, n_total, parts, strategy, mask
+            params, agg_fwd, agg_bwd, x, y, config, n_total, mask
         )
         params, opt_state = adam.adam_update(params, grads, opt_state, **hp)
         return params, opt_state, loss, acc
@@ -365,11 +530,16 @@ def make_dist_train_step(
         step, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
     )
 
-    def wrapper(params, opt_state, pair: DistAggPair, x, y, mask=None):
-        pair_dicts = dict(
-            fwd=dict(rows=pair.fwd.rows, cols=pair.fwd.cols, vals=pair.fwd.vals),
-            bwd=dict(rows=pair.bwd.rows, cols=pair.bwd.cols, vals=pair.bwd.vals),
-        )
+    def wrapper(params, opt_state, pair, x, y, mask=None):
+        if pair_kind == "coo":
+            pair_dicts = dict(
+                fwd=dict(rows=pair.fwd.rows, cols=pair.fwd.cols, vals=pair.fwd.vals),
+                bwd=dict(rows=pair.bwd.rows, cols=pair.bwd.cols, vals=pair.bwd.vals),
+            )
+        else:
+            pair_dicts = dict(
+                pack_fwd=pair.pack_fwd, pack_bwd=pair.pack_bwd, scale=pair.scale
+            )
         args = (params, opt_state, pair_dicts, x, y)
         if use_mask:
             args = args + (mask,)

@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save", metavar="PATH", help="write checkpoint after training")
     p.add_argument("--load", metavar="PATH", help="resume from checkpoint")
     p.add_argument("--profile", metavar="DIR", help="jax.profiler trace directory")
+    p.add_argument(
+        "--time-phases",
+        action="store_true",
+        help="append a per-phase (SpMM/GEMM/activation/loss) device timing "
+        "breakdown to the timer CSV (diagnostic; un-fused epoch)",
+    )
     p.add_argument("--csv-dir", default="csvs")
     p.add_argument("command", help="train | pagerank")
     p.add_argument("args", nargs="*", help="command arguments")
@@ -196,6 +202,10 @@ def _train_single(opts, ds, config, hparams, params, opt_state, timers):
         dt = time.perf_counter() - t0
         timers.record(f"{e}_0_epoch", dt * 1e3)
         print(f"{e} {loss} {acc} {dt}", file=sys.stderr)
+    if opts.time_phases and opts.model == "gcn":
+        from .diagnostics import profile_epoch
+
+        profile_epoch(params, pair, x, y, config, timers, prefix="phase_")
     return params, opt_state, 0
 
 

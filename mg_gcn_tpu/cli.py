@@ -57,6 +57,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eps-adam", type=float, default=1e-8)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--save", metavar="PATH", help="write checkpoint after training")
+    p.add_argument(
+        "--save-every",
+        type=int,
+        default=0,
+        metavar="N",
+        help="also checkpoint every N epochs (to --save path; enables "
+        "mid-run failure recovery with --load)",
+    )
     p.add_argument("--load", metavar="PATH", help="resume from checkpoint")
     p.add_argument("--profile", metavar="DIR", help="jax.profiler trace directory")
     p.add_argument(
@@ -202,6 +210,10 @@ def _train_single(opts, ds, config, hparams, params, opt_state, timers):
         dt = time.perf_counter() - t0
         timers.record(f"{e}_0_epoch", dt * 1e3)
         print(f"{e} {loss} {acc} {dt}", file=sys.stderr)
+        if opts.save_every and opts.save and (e + 1) % opts.save_every == 0:
+            from .checkpoint import save_checkpoint
+
+            save_checkpoint(opts.save, (params, opt_state))
     if opts.time_phases and opts.model == "gcn":
         from .diagnostics import profile_epoch
 

@@ -168,8 +168,6 @@ def make_dgl(name: str, out_dir: str, P: int = 8, perm_seed: int = 0) -> str:
             f"dataset {name!r} needs dgl/ogb installed (and network access): {e}"
         )
     g = data[0]
-    import torch
-
     feats = g.ndata["feat"].numpy()
     labels = g.ndata["label"].numpy().astype(np.int32)
     sets = np.zeros(g.number_of_nodes(), np.int32)

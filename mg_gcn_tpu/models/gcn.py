@@ -34,8 +34,8 @@ Layer schedule semantics shared by both modes (mirroring gcn.hpp:437-458):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Sequence
+from dataclasses import dataclass
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

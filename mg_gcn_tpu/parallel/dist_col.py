@@ -23,8 +23,6 @@ TPU-native equivalent:
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -82,28 +82,51 @@ def main() -> None:
     step = make_train_step(config)
     print(f"setup done in {time.time()-t0:.1f}s", file=sys.stderr)
 
-    times = []
-    for e in range(EPOCHS):
-        s = time.perf_counter()
-        params, opt, loss, acc = step(params, opt, pair, x, y, None)
-        loss = float(loss)  # forces completion (host read)
-        dt = time.perf_counter() - s
-        times.append(dt)
-        print(f"epoch {e}: loss={loss:.4f} {dt:.3f}s", file=sys.stderr)
-    epoch_s = float(np.median(times[1:]))
-    value = SPMM_PER_EPOCH * nnz / epoch_s
-    print(
-        json.dumps(
-            {
-                "metric": "reddit-scale 3x128 full-batch GCN aggregated SpMM throughput",
-                "value": value,
-                "unit": "edges/s",
-                "vs_baseline": value / BASELINE_EDGES_PER_S,
-                "epoch_seconds": epoch_s,
-                "nnz": nnz,
-            }
+    def run_epochs(step_fn, p0, o0, pair_, tag):
+        times, p, o = [], p0, o0
+        for e in range(EPOCHS):
+            s = time.perf_counter()
+            p, o, loss, acc = step_fn(p, o, pair_, x, y, None)
+            loss = float(loss)  # forces completion (host read)
+            dt = time.perf_counter() - s
+            times.append(dt)
+            print(f"[{tag}] epoch {e}: loss={loss:.4f} {dt:.3f}s", file=sys.stderr)
+        return float(np.median(times[1:]))
+
+    epoch_s = run_epochs(step, params, opt, pair, "bf16")
+
+    # auxiliary: int8 aggregation mode (2x MXU; 8-bit-quantized activations —
+    # converges on learnable tasks, see tests/test_spmm_pattern.py)
+    int8_epoch_s = None
+    from dataclasses import replace
+
+    from mg_gcn_tpu.ops.spmm import AggPair
+    from mg_gcn_tpu.ops.spmm_pattern import PatternMat
+
+    if isinstance(pair.fwd, PatternMat):
+        # same packed bits, int8 MXU passes — no extra memory. Fresh params:
+        # the donating train step consumed the previous pytrees.
+        pair8 = AggPair(
+            replace(pair.fwd, dtype_name="int8"),
+            replace(pair.bwd, dtype_name="int8"),
         )
-    )
+        params8 = init_params(config)
+        opt8 = adam.adam_init(params8)
+        int8_epoch_s = run_epochs(step, params8, opt8, pair8, "int8")
+
+    value = SPMM_PER_EPOCH * nnz / epoch_s
+    out = {
+        "metric": "reddit-scale 3x128 full-batch GCN aggregated SpMM throughput",
+        "value": value,
+        "unit": "edges/s",
+        "vs_baseline": value / BASELINE_EDGES_PER_S,
+        "epoch_seconds": epoch_s,
+        "nnz": nnz,
+    }
+    if int8_epoch_s:
+        out["int8_epoch_seconds"] = int8_epoch_s
+        out["int8_edges_per_s"] = SPMM_PER_EPOCH * nnz / int8_epoch_s
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -50,6 +50,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mask-train", action="store_true", help="loss on train set only")
     p.add_argument("--impl", default="auto", choices=["auto", "pattern", "xla", "pallas"])
     p.add_argument("--model", default="gcn", choices=["gcn", "sage"])
+    p.add_argument(
+        "--pattern-dtype",
+        default="bfloat16",
+        choices=["bfloat16", "float32", "int8"],
+        help="MXU input dtype for the pattern SpMM kernel (int8 = 2x "
+        "throughput with 8-bit-quantized activations)",
+    )
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--wd", type=float, default=5e-4)
     p.add_argument("--b1", type=float, default=0.9)
@@ -196,7 +203,9 @@ def _train_single(opts, ds, config, hparams, params, opt_state, timers):
 
             pair = build_sage_pair(ds.graph, impl=opts.impl)
         else:
-            pair = build_agg_pair(ds.graph, impl=opts.impl)
+            pair = build_agg_pair(
+                ds.graph, impl=opts.impl, pattern_dtype=opts.pattern_dtype
+            )
         x = jnp.asarray(ds.features, jnp.float32)
         y = jnp.asarray(ds.labels.reshape(-1).astype(np.int32))
         mask = (

@@ -214,11 +214,19 @@ def _planes(pack_i32: jax.Array, cdtype):
     """Yield (b, plane) for the 32 bit-planes of an i32 block.
 
     Arithmetic >> then &1 reads the same bit as a logical shift; i32->f32 is
-    the cast Mosaic supports (u32->bf16 is not implemented).
+    the cast Mosaic supports (u32->bf16 is not implemented). For int8 mode
+    the 0/1 plane is truncated directly to int8.
     """
     for b in range(32):
         plane = (pack_i32 >> b) & jnp.int32(1)
-        yield b, plane.astype(jnp.float32).astype(cdtype)
+        if cdtype == jnp.int8:
+            yield b, plane.astype(jnp.int8)
+        else:
+            yield b, plane.astype(jnp.float32).astype(cdtype)
+
+
+def _acc_dtype(cdtype):
+    return jnp.int32 if cdtype == jnp.int8 else jnp.float32
 
 
 def _fwd_kernel(b_ref, pack_ref, out_ref, *, cdtype):
@@ -229,11 +237,11 @@ def _fwd_kernel(b_ref, pack_ref, out_ref, *, cdtype):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    bf = b_ref[:].astype(cdtype)
+    bf = b_ref[:] if b_ref.dtype == cdtype else b_ref[:].astype(cdtype)
     pack = pack_ref[:].astype(jnp.int32)
     for b, plane in _planes(pack, cdtype):
         sl = slice(b * 128, (b + 1) * 128)
-        out_ref[:, sl] += jnp.dot(bf, plane, preferred_element_type=jnp.float32)
+        out_ref[:, sl] += jnp.dot(bf, plane, preferred_element_type=_acc_dtype(cdtype))
 
 
 def _bwd_kernel(b_ref, pack_ref, out_ref, *, cdtype):
@@ -247,28 +255,48 @@ def _bwd_kernel(b_ref, pack_ref, out_ref, *, cdtype):
     pack = pack_ref[:].astype(jnp.int32)
     acc = out_ref[:]
     for b, plane in _planes(pack, cdtype):
-        blk = b_ref[b * 128 : (b + 1) * 128, :].astype(cdtype)
-        acc += jnp.dot(plane, blk, preferred_element_type=jnp.float32)
+        blk = b_ref[b * 128 : (b + 1) * 128, :]
+        if blk.dtype != cdtype:
+            blk = blk.astype(cdtype)
+        acc += jnp.dot(plane, blk, preferred_element_type=_acc_dtype(cdtype))
     out_ref[:] = acc
 
 
 def spmm_pattern(mat: PatternMat, b: jax.Array) -> jax.Array:
-    """``C = M @ B`` for row-major B (n, d); returns (n, d) float32."""
+    """``C = M @ B`` for row-major B (n, d); returns (n, d) float32.
+
+    In int8 mode the dense operand is quantized per feature (symmetric,
+    scale = max|column|/127); the pattern side is exact 0/1 and the int32
+    accumulation is exact over the quantized values, so the only error is
+    the 8-bit input rounding. v5e int8 MXU runs at 2x the bf16 rate.
+    """
     n, d = b.shape
     if n != mat.n:
         raise ValueError(f"B has {n} rows, pattern expects {mat.n}")
     n_pad = mat.n_pad
+    int8_mode = mat.compute_dtype == jnp.int8
     b = b.astype(jnp.float32)
     if mat.scale_side == "pre":
         b = b * mat.scale[:n, None]
-    if mat.orientation == "PT":
-        d_pad = round_up(max(d, 8), 8)
+    d_pad = round_up(max(d, 8), 8)
+    if int8_mode:
+        # per-feature symmetric quantization (exact dequant per row/col)
+        qscale = jnp.maximum(jnp.max(jnp.abs(b), axis=0), 1e-30) / 127.0  # (d,)
+        bq = jnp.clip(jnp.round(b / qscale[None, :]), -127, 127).astype(jnp.int8)
+        if mat.orientation == "PT":
+            bf = jnp.zeros((d_pad, n_pad), jnp.int8).at[:d, :n].set(bq.T)
+            cf = _pattern_call_fwd(mat, bf).astype(jnp.float32)
+            c = (cf[:d, :n] * qscale[:, None]).T
+        else:
+            bm = jnp.zeros((n_pad, d_pad), jnp.int8).at[:n, :d].set(bq)
+            cm = _pattern_call_bwd(mat, bm).astype(jnp.float32)
+            c = cm[:n, :d] * qscale[None, :]
+    elif mat.orientation == "PT":
         bf = jnp.zeros((d_pad, n_pad), jnp.float32)
         bf = bf.at[:d, :n].set(b.T)
         cf = _pattern_call_fwd(mat, bf)
         c = cf[:d, :n].T
     else:
-        d_pad = round_up(max(d, 8), 8)
         bm = jnp.zeros((n_pad, d_pad), jnp.float32)
         bm = bm.at[:n, :d].set(b)
         cm = _pattern_call_bwd(mat, bm)
@@ -294,7 +322,7 @@ def _pattern_call_fwd(mat: PatternMat, bf: jax.Array) -> jax.Array:
         out_specs=pl.BlockSpec(
             (d_pad, GROUP), lambda g, cb: (0, g), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((d_pad, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((d_pad, n_pad), _acc_dtype(mat.compute_dtype)),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * n_pad * d_pad,
             bytes_accessed=mat.pack.size * 4 + bf.size * 4 * n_g + bf.size * 4,
@@ -319,7 +347,7 @@ def _pattern_call_bwd(mat: PatternMat, bm: jax.Array) -> jax.Array:
         out_specs=pl.BlockSpec(
             (O_BWD, d_pad), lambda rb, g: (rb, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, d_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, d_pad), _acc_dtype(mat.compute_dtype)),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * n_pad * d_pad,
             bytes_accessed=mat.pack.size * 4 + bm.size * 4 * n_rb + bm.size * 4,

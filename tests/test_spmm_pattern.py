@@ -82,6 +82,51 @@ def test_pattern_bf16_close():
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
 
 
+def test_pattern_int8_close():
+    n, d = 520, 16
+    g = binary_graph(n, 4, seed=7)
+    fwd, bwd = sp.pattern_pair_from_binary_csr(g, dtype="int8")
+    b = np.random.default_rng(3).random((n, d)).astype(np.float32)
+    a_hat = sparse.normalize(g, axis=True).to_dense()
+    got_f = np.asarray(sp.spmm_pattern(fwd, jnp.asarray(b)))
+    np.testing.assert_allclose(got_f, a_hat.T @ b, rtol=3e-2, atol=3e-2)
+    got_b = np.asarray(sp.spmm_pattern(bwd, jnp.asarray(b)))
+    np.testing.assert_allclose(got_b, a_hat @ b, rtol=3e-2, atol=3e-2)
+
+
+def test_pattern_int8_trains_planted():
+    """int8 aggregation must still learn the community task."""
+    import scipy.sparse as ss
+
+    from mg_gcn_tpu.formats import CSRData
+    from mg_gcn_tpu.models.gcn import GCNConfig, init_params
+    from mg_gcn_tpu.nn import adam
+    from mg_gcn_tpu.ops.spmm import AggPair
+    from mg_gcn_tpu.train import make_train_step
+
+    rng = np.random.default_rng(8)
+    n, k = 150, 3
+    comm = np.repeat(np.arange(k), n // k)
+    probs = np.where(comm[:, None] == comm[None, :], 0.15, 0.01)
+    adj = (rng.random((n, n)) < probs).astype(np.float32)
+    np.fill_diagonal(adj, 1.0)
+    graph = CSRData.from_scipy(ss.csr_matrix(adj))
+    x = (np.eye(k)[comm] + 0.8 * rng.standard_normal((n, k))).astype(np.float32)
+    y = comm.astype(np.int32)
+    fwd, bwd = sp.pattern_pair_from_binary_csr(graph, dtype="int8")
+    pair = AggPair(fwd=fwd, bwd=bwd)
+    config = GCNConfig(sizes=(k, 16, k))
+    params = init_params(config)
+    opt = adam.adam_init(params)
+    step = make_train_step(config)
+    acc = 0.0
+    for _ in range(40):
+        params, opt, loss, acc = step(
+            params, opt, pair, jnp.asarray(x), jnp.asarray(y), None
+        )
+    assert float(acc) > 0.9, f"int8 final accuracy {float(acc)}"
+
+
 def test_rejects_weighted():
     g = sparse.random_graph(64, 4, seed=5, weights="random")
     with pytest.raises(ValueError, match="binary"):

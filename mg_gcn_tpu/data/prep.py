@@ -231,7 +231,31 @@ def main(argv=None) -> int:
     p.add_argument("--deg", type=float, default=493)
     p.add_argument("--feat", type=int, default=602)
     p.add_argument("--labels", type=int, default=41)
+    p.add_argument(
+        "--cluster",
+        choices=["rcm", "bfs", "degree"],
+        help="apply a locality-improving node reordering to an existing "
+        "dataset dir (enables block-sparse pattern tile skipping)",
+    )
     opts = p.parse_args(argv)
+    if opts.dataset == "cluster":
+        if not opts.args:
+            print("cluster requires a data dir", file=sys.stderr)
+            return 2
+        ds = Dataset.load(opts.args[0])
+        from .. import sparse as hs
+
+        order = hs.cluster_order(ds.graph, opts.cluster or "rcm")
+        out = Dataset(
+            graph=hs.permute_symmetric(ds.graph, order),
+            features=ds.features[order],
+            labels=ds.labels.reshape(-1)[order].reshape(-1, 1),
+            sets=ds.sets.reshape(-1)[order].reshape(-1, 1),
+        )
+        dest = opts.args[1] if len(opts.args) > 1 else opts.args[0] + "_clustered"
+        out.save(dest)
+        print(f"wrote {dest}")
+        return 0
     if opts.dataset == "toy":
         for path in make_toy(opts.out):
             print(f"wrote {path}")

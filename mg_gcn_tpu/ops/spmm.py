@@ -102,10 +102,12 @@ def spmm(mat, B: jax.Array, impl: str | None = None) -> jax.Array:
     (from :mod:`.spmm_pallas`).
     """
     impl = impl or DEFAULT_IMPL
-    from . import spmm_pallas, spmm_pattern
+    from . import spmm_pallas, spmm_pattern, spmm_pattern_sparse
 
     if isinstance(mat, spmm_pattern.PatternMat):
         return spmm_pattern.spmm_pattern(mat, B)
+    if isinstance(mat, spmm_pattern_sparse.BlockPatternMat):
+        return spmm_pattern_sparse.spmm_block_pattern(mat, B)
     if isinstance(mat, spmm_pallas.TiledMat):
         return spmm_pallas.spmm_tiled(mat, B)
     if impl == "xla":

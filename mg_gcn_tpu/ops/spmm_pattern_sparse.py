@@ -1,0 +1,328 @@
+"""Block-sparse bit-packed pattern SpMM — skips empty tile groups.
+
+Extension of :mod:`.spmm_pattern` for graphs with locality (community
+structure, RCM/cluster orderings): the pattern is cut into (512 × 4096)
+tile regions and only the *nonempty* tiles are stored — as a compact
+``(T, 512, 128)`` int32 array — and scheduled. Compute and HBM traffic then
+scale with the number of occupied tiles instead of n², and so does pattern
+memory (lifting the n ≲ 300k single-chip ceiling for clustered graphs).
+
+The same compact tile array serves both directions; only the *schedule*
+differs:
+
+* forward (C = Pᵀ B): tiles sorted by column-group (the output), the kernel
+  accumulates into one (d, 4096) output block per group;
+* backward (C = P B): the same tiles sorted by row-block.
+
+Schedules are scalar-prefetched (``pltpu.PrefetchScalarGridSpec``): per grid
+step t, prefetched arrays give the tile id (pack block index), the outer
+block id (output index), the inner block id (dense-operand index) and a
+first-visit flag for accumulator initialization. Uniform random graphs have
+~100% occupancy and match the dense-pattern kernel; a k-community graph has
+~1/k occupancy and runs ~k× faster.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats import CSRData
+from .spmm_pattern import GROUP, _acc_dtype, _planes, is_binary, round_up
+
+TILE_R = 512  # tile rows (= J_FWD = O_BWD of the dense-pattern kernel)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "tiles",
+        "fwd_tile",
+        "fwd_outer",
+        "fwd_inner",
+        "fwd_first",
+        "bwd_tile",
+        "bwd_outer",
+        "bwd_inner",
+        "bwd_first",
+        "scale",
+    ],
+    meta_fields=["n", "n_pad", "nnz", "orientation", "scale_side", "dtype_name"],
+)
+@dataclass(frozen=True)
+class BlockPatternMat:
+    """One direction over compact block-sparse pattern tiles.
+
+    ``tiles[t]`` is the (TILE_R, 128)-word bit block of tile region t; the
+    fwd_*/bwd_* arrays are the two schedules (only the one matching
+    ``orientation`` is used by the kernel, but both ride along so a single
+    pytree can be flipped between directions with dataclasses.replace).
+    """
+
+    tiles: jax.Array  # i32[T, TILE_R, 128]
+    fwd_tile: jax.Array  # i32[Sf]
+    fwd_outer: jax.Array  # i32[Sf]  (column-group id -> output block)
+    fwd_inner: jax.Array  # i32[Sf]  (row-chunk id -> dense-operand block)
+    fwd_first: jax.Array  # i32[Sf]
+    bwd_tile: jax.Array
+    bwd_outer: jax.Array  # (row-block id -> output block)
+    bwd_inner: jax.Array  # (column-group id -> dense-operand block)
+    bwd_first: jax.Array
+    scale: jax.Array
+    n: int
+    n_pad: int
+    nnz: int
+    orientation: str  # "PT" | "P"
+    scale_side: str
+    dtype_name: str = "bfloat16"
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype_name)
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles.shape[0]
+
+    @property
+    def occupancy(self) -> float:
+        total = (self.n_pad // TILE_R) * (self.n_pad // GROUP)
+        return self.num_tiles / total
+
+
+def block_pattern_pair_from_binary_csr(
+    csr: CSRData, dtype: str = "bfloat16"
+) -> tuple[BlockPatternMat, BlockPatternMat]:
+    """Build the (Âᵀ·, Â·) block-sparse pair. See spmm_pattern for the
+    normalization semantics (gcn.hpp:946-954)."""
+    if not is_binary(csr):
+        raise ValueError("pattern SpMM needs a binary adjacency (data == 1)")
+    n = csr.nrows
+    n_pad = round_up(n, GROUP)
+    words = n_pad // 32
+    n_rb = n_pad // TILE_R
+    n_g = n_pad // GROUP
+
+    counts = np.diff(csr.indptr).astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+    cols = csr.indices.astype(np.int64)
+    rb = rows // TILE_R
+    gb = cols // GROUP
+    tile_key = rb * n_g + gb
+
+    occupied = np.unique(tile_key)
+    T = occupied.shape[0]
+    tile_index = np.full(n_rb * n_g, -1, np.int64)
+    tile_index[occupied] = np.arange(T)
+
+    # pack bits tile-locally: tile t, local row r (<TILE_R), local col c
+    # (<GROUP) -> word [t, r, c % 128], bit c // 128 (the strided layout of
+    # spmm_pattern restricted to one group)
+    t_of_edge = tile_index[tile_key]
+    lrow = (rows % TILE_R).astype(np.int64)
+    lcol = (cols % GROUP).astype(np.int64)
+    word = lcol % 128
+    bitpos = (lcol // 128).astype(np.int64)
+    pos = (t_of_edge * TILE_R + lrow) * 128 + word
+    flat = np.zeros(T * TILE_R * 128, dtype=np.uint32)
+    order = np.argsort(bitpos, kind="stable")
+    pos_s = pos[order]
+    bounds = np.searchsorted(bitpos[order], np.arange(33))
+    for b in range(32):
+        seg = pos_s[bounds[b] : bounds[b + 1]]
+        if seg.size:
+            flat[seg] |= np.uint32(1 << b)
+    tiles = flat.view(np.int32).reshape(T, TILE_R, 128)
+
+    occ_rb = occupied // n_g
+    occ_g = occupied % n_g
+
+    # Every output block must be visited at least once or its accumulator is
+    # never initialized: append one all-zero tile (index T) and a step for
+    # each empty outer block.
+    tiles = np.concatenate([tiles, np.zeros((1, TILE_R, 128), np.int32)])
+
+    def schedule(outer_ids, inner_ids, n_outer):
+        missing = np.setdiff1d(np.arange(n_outer), np.unique(outer_ids))
+        tile_ids = np.concatenate([np.arange(T), np.full(missing.size, T)])
+        outer_all = np.concatenate([outer_ids, missing])
+        inner_all = np.concatenate([inner_ids, np.zeros(missing.size, np.int64)])
+        order = np.lexsort((inner_all, outer_all))
+        tile = tile_ids[order].astype(np.int32)
+        outer = outer_all[order].astype(np.int32)
+        inner = inner_all[order].astype(np.int32)
+        first = np.concatenate([[1], (outer[1:] != outer[:-1]).astype(np.int32)])
+        return tile, outer, inner, first
+
+    # forward: outer = column-group (output), inner = row-block (operand)
+    f_tile, f_outer, f_inner, f_first = schedule(occ_g, occ_rb, n_g)
+    # backward: outer = row-block (output), inner = column-group (operand)
+    b_tile, b_outer, b_inner, b_first = schedule(occ_rb, occ_g, n_rb)
+
+    indeg = np.bincount(csr.indices, minlength=n_pad).astype(np.float64)
+    with np.errstate(divide="ignore"):
+        s = np.where(indeg > 0, 1.0 / indeg, 0.0).astype(np.float32)
+
+    common = dict(
+        tiles=jnp.asarray(tiles),
+        fwd_tile=jnp.asarray(f_tile),
+        fwd_outer=jnp.asarray(f_outer),
+        fwd_inner=jnp.asarray(f_inner),
+        fwd_first=jnp.asarray(f_first),
+        bwd_tile=jnp.asarray(b_tile),
+        bwd_outer=jnp.asarray(b_outer),
+        bwd_inner=jnp.asarray(b_inner),
+        bwd_first=jnp.asarray(b_first),
+        scale=jnp.asarray(s),
+        n=n,
+        n_pad=n_pad,
+        nnz=csr.nnz,
+        dtype_name=dtype,
+    )
+    fwd = BlockPatternMat(orientation="PT", scale_side="post", **common)
+    bwd = BlockPatternMat(orientation="P", scale_side="pre", **common)
+    return fwd, bwd
+
+
+def _fwd_kernel_sparse(
+    tile_ref, outer_ref, inner_ref, first_ref, b_ref, pack_ref, out_ref, *, cdtype
+):
+    t = pl.program_id(0)
+
+    @pl.when(first_ref[t] == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    bf = b_ref[:] if b_ref.dtype == cdtype else b_ref[:].astype(cdtype)
+    pack = pack_ref[0]
+    for b, plane in _planes(pack, cdtype):
+        sl = slice(b * 128, (b + 1) * 128)
+        out_ref[:, sl] += jnp.dot(bf, plane, preferred_element_type=_acc_dtype(cdtype))
+
+
+def _bwd_kernel_sparse(
+    tile_ref, outer_ref, inner_ref, first_ref, b_ref, pack_ref, out_ref, *, cdtype
+):
+    t = pl.program_id(0)
+
+    @pl.when(first_ref[t] == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    pack = pack_ref[0]
+    acc = out_ref[:]
+    for b, plane in _planes(pack, cdtype):
+        blk = b_ref[b * 128 : (b + 1) * 128, :]
+        if blk.dtype != cdtype:
+            blk = blk.astype(cdtype)
+        acc += jnp.dot(plane, blk, preferred_element_type=_acc_dtype(cdtype))
+    out_ref[:] = acc
+
+
+def _call_fwd(mat: BlockPatternMat, bf: jax.Array) -> jax.Array:
+    d_pad, n_pad = bf.shape
+    steps = mat.fwd_tile.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec(
+                (d_pad, TILE_R),
+                lambda t, tile, outer, inner, first: (0, inner[t]),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, TILE_R, 128),
+                lambda t, tile, outer, inner, first: (tile[t], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (d_pad, GROUP),
+            lambda t, tile, outer, inner, first: (0, outer[t]),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_sparse, cdtype=mat.compute_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((d_pad, n_pad), _acc_dtype(mat.compute_dtype)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mat.num_tiles * TILE_R * GROUP * d_pad,
+            bytes_accessed=mat.tiles.size * 4 + bf.size * 4 * 2,
+            transcendentals=0,
+        ),
+    )(mat.fwd_tile, mat.fwd_outer, mat.fwd_inner, mat.fwd_first, bf, mat.tiles)
+
+
+def _call_bwd(mat: BlockPatternMat, bm: jax.Array) -> jax.Array:
+    n_pad, d_pad = bm.shape
+    steps = mat.bwd_tile.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec(
+                (GROUP, d_pad),
+                lambda t, tile, outer, inner, first: (inner[t], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, TILE_R, 128),
+                lambda t, tile, outer, inner, first: (tile[t], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_R, d_pad),
+            lambda t, tile, outer, inner, first: (outer[t], 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_sparse, cdtype=mat.compute_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, d_pad), _acc_dtype(mat.compute_dtype)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mat.num_tiles * TILE_R * GROUP * d_pad,
+            bytes_accessed=mat.tiles.size * 4 + bm.size * 4 * 2,
+            transcendentals=0,
+        ),
+    )(mat.bwd_tile, mat.bwd_outer, mat.bwd_inner, mat.bwd_first, bm, mat.tiles)
+
+
+def spmm_block_pattern(mat: BlockPatternMat, b: jax.Array) -> jax.Array:
+    """``C = M @ B`` for row-major B (n, d); returns (n, d) float32."""
+    n, d = b.shape
+    if n != mat.n:
+        raise ValueError(f"B has {n} rows, pattern expects {mat.n}")
+    n_pad = mat.n_pad
+    int8_mode = mat.compute_dtype == jnp.int8
+    b = b.astype(jnp.float32)
+    if mat.scale_side == "pre":
+        b = b * mat.scale[:n, None]
+    d_pad = round_up(max(d, 8), 8)
+    if int8_mode:
+        qscale = jnp.maximum(jnp.max(jnp.abs(b), axis=0), 1e-30) / 127.0
+        bq = jnp.clip(jnp.round(b / qscale[None, :]), -127, 127).astype(jnp.int8)
+        if mat.orientation == "PT":
+            bf = jnp.zeros((d_pad, n_pad), jnp.int8).at[:d, :n].set(bq.T)
+            c = (_call_fwd(mat, bf).astype(jnp.float32)[:d, :n] * qscale[:, None]).T
+        else:
+            bm = jnp.zeros((n_pad, d_pad), jnp.int8).at[:n, :d].set(bq)
+            c = _call_bwd(mat, bm).astype(jnp.float32)[:n, :d] * qscale[None, :]
+    elif mat.orientation == "PT":
+        bf = jnp.zeros((d_pad, n_pad), jnp.float32).at[:d, :n].set(b.T)
+        c = _call_fwd(mat, bf)[:d, :n].T
+    else:
+        bm = jnp.zeros((n_pad, d_pad), jnp.float32).at[:n, :d].set(b)
+        c = _call_bwd(mat, bm)[:n, :d]
+    if mat.scale_side == "post":
+        c = c * mat.scale[:n, None]
+    return c

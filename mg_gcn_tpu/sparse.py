@@ -174,20 +174,50 @@ def comm_volume(csr: CSRData, part: np.ndarray) -> np.ndarray:
 
 
 def permute_symmetric(csr: CSRData, perm: np.ndarray) -> CSRData:
-    """Apply the same permutation to rows and columns (prep.py:24-43).
+    """Apply the same permutation to rows and columns: result = A[perm][:, perm].
 
-    ``perm`` maps new index -> old index is the numpy convention used by
-    the reference's permutation path: row/col i of the result is row/col
-    perm^-1... The reference uses ``np.argsort(new_order)`` on an identity
-    permutation matrix; we match scipy semantics: result = A[perm][:, perm]
-    where ``perm`` is a random permutation of arange(n) (prep.py:89-93 with
-    p = rng.permutation(n) applied as permute_sparse_matrix(graph, p, p)).
+    ``perm`` maps new index -> old index, consistent with ``features[perm]``
+    — exactly the reference's permutation semantics (prep.py:24-43: the
+    argsort-permuted identity matrix there composes to ``M[p][:, p]`` with
+    ``features[p]`` at prep.py:89-93).
     """
     sp = csr.to_scipy()
-    inv = np.argsort(perm)
-    sp = sp[inv][:, inv]
+    sp = sp[perm][:, perm]
     sp.sort_indices()
     return CSRData.from_scipy(sp)
+
+
+def cluster_order(csr: CSRData, method: str = "rcm") -> np.ndarray:
+    """Locality-improving node ordering (new-index -> old-index permutation).
+
+    Orders nodes so edges concentrate near the diagonal / in blocks, which
+    the block-sparse pattern kernel (ops/spmm_pattern_sparse.py) converts
+    directly into skipped tiles. The reference's prep kept a PaToH
+    hypergraph-partitioning hook for the same purpose (prep.py:20,238-240,
+    commented out); here:
+
+    * "rcm"    — reverse Cuthill-McKee bandwidth reduction (scipy).
+    * "bfs"    — plain BFS ordering from the max-degree node.
+    * "degree" — sort by degree (groups hubs; cheap).
+    """
+    sym = csr.to_scipy()
+    sym = (sym + sym.T).tocsr()
+    if method == "rcm":
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        return np.asarray(reverse_cuthill_mckee(sym, symmetric_mode=True))
+    if method == "bfs":
+        from scipy.sparse.csgraph import breadth_first_order
+
+        start = int(np.argmax(np.diff(sym.indptr)))
+        order, _ = breadth_first_order(sym, start, return_predecessors=True)
+        seen = np.zeros(csr.nrows, bool)
+        seen[order] = True
+        rest = np.flatnonzero(~seen)
+        return np.concatenate([order, rest]).astype(np.int64)
+    if method == "degree":
+        return np.argsort(-np.diff(csr.indptr)).astype(np.int64)
+    raise ValueError(f"unknown cluster method {method!r}")
 
 
 def random_graph(

@@ -79,8 +79,56 @@ def test_permute_symmetric():
     perm = np.random.default_rng(9).permutation(20)
     out = sparse.permute_symmetric(csr, perm)
     dense = csr.to_dense()
-    expected = dense[np.ix_(np.argsort(perm), np.argsort(perm))]
+    expected = dense[np.ix_(perm, perm)]
     np.testing.assert_allclose(out.to_dense(), expected)
+
+
+def test_permuted_dataset_alignment():
+    """graph and features/labels must use the SAME permutation convention:
+    an edge (u, v) in the permuted graph must connect the same feature rows
+    as the original edge."""
+    from mg_gcn_tpu.data import prep
+    from mg_gcn_tpu.formats import Dataset
+
+    n = 16
+    rng = np.random.default_rng(10)
+    g = sparse.random_graph(n, 3, seed=11, weights="random")
+    feats = np.arange(n, dtype=np.float32).reshape(-1, 1)  # feature == node id
+    ds = Dataset(
+        graph=g,
+        features=feats,
+        labels=np.arange(n, dtype=np.int32).reshape(-1, 1),
+        sets=np.zeros((n, 1), np.int32),
+    )
+    out = prep.permuted_variant(ds, seed=5)
+    orig = g.to_dense()
+    newd = out.graph.to_dense()
+    ids = out.features.reshape(-1).astype(int)  # new-index -> old node id
+    for i in range(n):
+        for j in range(n):
+            assert newd[i, j] == orig[ids[i], ids[j]]
+
+
+def test_cluster_order_improves_locality():
+    # two hard communities shuffled; rcm/bfs should de-shuffle them
+    rng = np.random.default_rng(12)
+    n = 64
+    dense = np.zeros((n, n), np.float32)
+    comm = rng.permutation(np.repeat([0, 1], n // 2))
+    for i in range(n):
+        for j in range(n):
+            if comm[i] == comm[j] and rng.random() < 0.3:
+                dense[i, j] = 1
+    np.fill_diagonal(dense, 1)
+    csr = CSRData.from_scipy(sp.csr_matrix(dense))
+    for method in ("rcm", "bfs", "degree"):
+        order = sparse.cluster_order(csr, method)
+        assert sorted(order) == list(range(n))
+    order = sparse.cluster_order(csr, "bfs")
+    reordered = dense[np.ix_(order, order)]
+    # within the first half, nodes should now be from one community
+    first = comm[order[: n // 2]]
+    assert (first == first[0]).mean() > 0.9
 
 
 def test_add_self_loops():

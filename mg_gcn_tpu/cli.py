@@ -48,7 +48,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-N", action="store_true", help="no-wait: force overlap (ring)")
     p.add_argument("--exact", action="store_true", help="exact autodiff gradients")
     p.add_argument("--mask-train", action="store_true", help="loss on train set only")
-    p.add_argument("--impl", default="auto", choices=["auto", "pattern", "xla", "pallas"])
+    p.add_argument("--impl", default="auto", choices=["auto", "pattern", "block", "xla", "pallas"])
     p.add_argument("--model", default="gcn", choices=["gcn", "sage"])
     p.add_argument(
         "--pattern-dtype",

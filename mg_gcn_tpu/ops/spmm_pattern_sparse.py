@@ -96,6 +96,18 @@ class BlockPatternMat:
         return self.num_tiles / total
 
 
+def estimate_occupancy(csr: CSRData) -> float:
+    """Fraction of (TILE_R × GROUP) tile regions containing any edge —
+    one cheap pass over the edge list; used to pick dense vs block-sparse."""
+    n_pad = round_up(csr.nrows, GROUP)
+    n_g = n_pad // GROUP
+    n_rb = n_pad // TILE_R
+    counts = np.diff(csr.indptr).astype(np.int64)
+    rows = np.repeat(np.arange(csr.nrows, dtype=np.int64), counts)
+    key = (rows // TILE_R) * n_g + csr.indices.astype(np.int64) // GROUP
+    return np.unique(key).size / (n_rb * n_g)
+
+
 def block_pattern_pair_from_binary_csr(
     csr: CSRData, dtype: str = "bfloat16"
 ) -> tuple[BlockPatternMat, BlockPatternMat]:

@@ -45,29 +45,45 @@ def build_agg_pair(
     backward one is Â.
 
     impl:
-      "auto"    — bit-packed dense-pattern MXU kernel when the adjacency is
-                  binary and n²/8 fits the memory budget (the fast path on
-                  TPU, ~MXU peak; see ops/spmm_pattern.py), else COO/XLA.
-      "pattern" — force the pattern kernel (raises if not applicable).
+      "auto"    — on TPU with a binary adjacency: the block-sparse pattern
+                  kernel when tile occupancy < 0.5 (clustered graphs — see
+                  ops/spmm_pattern_sparse.py), else the dense-pattern MXU
+                  kernel when n²/8 fits the memory budget
+                  (ops/spmm_pattern.py); otherwise COO/XLA.
+      "pattern" — force the dense-pattern kernel (raises if not applicable).
+      "block"   — force the block-sparse pattern kernel.
       "xla"     — COO gather/segment-sum compiled by XLA.
       "pallas"  — tiled-ELL Pallas kernel (interpret/debug only on v5e).
     """
-    from .ops import spmm_pattern
+    from .ops import spmm_pattern, spmm_pattern_sparse
 
     if impl == "auto":
         import jax
 
-        n_pad = spmm_pattern.round_up(graph.nrows, spmm_pattern.N_ALIGN)
-        fits = n_pad * n_pad / 8 <= PATTERN_MEM_BUDGET
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        impl = (
-            "pattern"
-            if (on_tpu and not pre_normalized and spmm_pattern.is_binary(graph) and fits)
-            else "xla"
+        if on_tpu and not pre_normalized and spmm_pattern.is_binary(graph):
+            occ = spmm_pattern_sparse.estimate_occupancy(graph)
+            n_pad = spmm_pattern.round_up(graph.nrows, spmm_pattern.N_ALIGN)
+            dense_bytes = n_pad * n_pad / 8
+            block_bytes = occ * dense_bytes
+            if occ < 0.5 and block_bytes <= PATTERN_MEM_BUDGET:
+                impl = "block"
+            elif dense_bytes <= PATTERN_MEM_BUDGET:
+                impl = "pattern"
+            else:
+                impl = "xla"
+        else:
+            impl = "xla"
+    if impl == "block":
+        if pre_normalized:
+            raise ValueError("pattern impls need the raw binary adjacency")
+        fwd, bwd = spmm_pattern_sparse.block_pattern_pair_from_binary_csr(
+            graph, dtype=pattern_dtype
         )
+        return AggPair(fwd=fwd, bwd=bwd)
     if impl == "pattern":
         if pre_normalized:
-            raise ValueError("pattern impl needs the raw binary adjacency")
+            raise ValueError("pattern impls need the raw binary adjacency")
         fwd, bwd = spmm_pattern.pattern_pair_from_binary_csr(
             graph, dtype=pattern_dtype
         )

@@ -178,9 +178,9 @@ def cmd_train(opts) -> int:
                 )
                 return 2
             if opts.model == "sage":
-                print("distributed SAGE is not wired up yet; use -P 1", file=sys.stderr)
-                return 2
-            rc = _train_dist(opts, ds, config, hparams, params, opt_state, timers)
+                rc = _train_dist_sage(opts, ds, config, hparams, params, opt_state, timers)
+            else:
+                rc = _train_dist(opts, ds, config, hparams, params, opt_state, timers)
     params, opt_state, code = rc
     if code == 0:
         with open(csv_path, "w") as f:
@@ -297,6 +297,46 @@ def _train_dist(opts, ds, config, hparams, params, opt_state, timers):
         strategy=strategy,
         use_mask=mask is not None,
         pair_kind=pair_kind,
+    )
+    for e in range(opts.E):
+        t0 = time.perf_counter()
+        out = step(params, opt_state, dpair, x, y, *(() if mask is None else (mask,)))
+        params, opt_state, loss, acc = out
+        loss, acc = float(loss), float(acc)
+        dt = time.perf_counter() - t0
+        timers.record(f"{e}_0_epoch", dt * 1e3)
+        print(f"{e} {loss} {acc} {dt}", file=sys.stderr)
+    return params, opt_state, 0
+
+
+def _train_dist_sage(opts, ds, config, hparams, params, opt_state, timers):
+    import jax
+    import jax.numpy as jnp
+
+    from . import sparse as host_sparse
+    from .parallel import dist
+
+    P = opts.P
+    if len(jax.devices()) < P:
+        print(f"only {len(jax.devices())} devices visible", file=sys.stderr)
+        return params, opt_state, 2
+    n = ds.num_nodes
+    if n % P:
+        print(f"node count {n} not divisible by P={P}", file=sys.stderr)
+        return params, opt_state, 2
+    strategy = "all_gather" if opts.S else "ring"
+    with timers.span("0_preprocess"):
+        m = host_sparse.normalize(ds.graph, axis=False)
+        m_t = host_sparse.transpose(m)
+        mesh = dist.make_mesh(P)
+        dpair = dist.DistAggPair.from_csr_pair(m, m_t, P)
+        x = jnp.asarray(ds.features, jnp.float32)
+        y = jnp.asarray(ds.labels.reshape(-1).astype(np.int32))
+        mask = (
+            jnp.asarray(ds.sets.reshape(-1) == 0) if config.loss_mask == "train" else None
+        )
+    step = dist.make_dist_sage_train_step(
+        config, mesh, n, hparams, strategy=strategy, use_mask=mask is not None
     )
     for e in range(opts.E):
         t0 = time.perf_counter()

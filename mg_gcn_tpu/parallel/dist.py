@@ -552,3 +552,108 @@ def _layer_has(config: GCNConfig, i: int, key: str) -> bool:
     if key in ("W", "b"):
         return True
     return config.layer_meta(i)["res_proj"]
+
+
+def make_dist_sage_train_step(
+    config,
+    mesh: Mesh,
+    n_total: int,
+    hparams: dict | None = None,
+    strategy: str = "ring",
+    use_mask: bool = False,
+):
+    """Distributed GraphSAGE train step (row partition, exact autodiff).
+
+    The mean-aggregation pair rides the same ring/all_gather machinery as
+    GCN; gradients are taken per device by autodiff (the ppermute transpose
+    is the reverse permute) and psum'd, mirroring the replicated-weight
+    allreduce. ``pair`` must be a DistAggPair built from (M, Mᵀ) with
+    M = row-normalized adjacency (models/sage.py semantics).
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    from ..ops.softmax_xent import softmax as _softmax
+
+    hp = dict(adam.DEFAULT_HPARAMS)
+    if hparams:
+        hp.update(hparams)
+    parts = mesh.devices.size
+
+    repl = P()
+    shard_rows = P(GRAPH_AXIS)
+    mat_spec = dict(rows=shard_rows, cols=shard_rows, vals=shard_rows)
+    pair_spec = dict(fwd=mat_spec, bwd=mat_spec)
+    params_spec = [
+        {k: repl for k in ("Wself", "Wneigh", "b")} for _ in range(config.num_layers)
+    ]
+    opt_spec = adam.AdamState(step=repl, m=params_spec, v=params_spec)
+    in_specs = (params_spec, opt_spec, pair_spec, shard_rows, shard_rows)
+    if use_mask:
+        in_specs = in_specs + (shard_rows,)
+    out_specs = (params_spec, opt_spec, repl, repl)
+
+    def step(params, opt_state, pair, x, y, *maybe_mask):
+        mask = maybe_mask[0] if maybe_mask else None
+        f = dict(
+            rows=pair["fwd"]["rows"][0],
+            cols=pair["fwd"]["cols"][0],
+            vals=pair["fwd"]["vals"][0],
+        )
+        agg = lambda h: dist_aggregate(f, h, parts, strategy)
+        yv = y.reshape(-1)
+        if mask is None:
+            denom = jnp.asarray(n_total, jnp.float32)
+            m = None
+        else:
+            m = mask.astype(jnp.float32)
+            denom = jnp.maximum(jax.lax.psum(jnp.sum(m), GRAPH_AXIS), 1.0)
+
+        def local_loss(p):
+            h = x
+            for i, layer in enumerate(p):
+                neigh = agg(h)
+                h = h @ layer["Wself"] + neigh @ layer["Wneigh"] + layer["b"]
+                if i + 1 < config.num_layers:
+                    h = ew.leaky_relu(h, config.leaky_slope)
+            o = _softmax(h)
+            n_loc = h.shape[0]
+            logp = jnp.log(
+                jnp.maximum(o[jnp.arange(n_loc), yv], jnp.finfo(o.dtype).tiny)
+            )
+            pred = jnp.argmax(jax.lax.stop_gradient(o), axis=-1).astype(jnp.int32)
+            correct = (pred == yv).astype(jnp.float32)
+            if m is None:
+                loss_loc = -jnp.sum(logp) / denom
+                acc_loc = jnp.sum(correct) / denom
+            else:
+                loss_loc = -jnp.sum(logp * m) / denom
+                acc_loc = jnp.sum(correct * m) / denom
+            return loss_loc, acc_loc
+
+        (loss_loc, acc_loc), grads = jax.value_and_grad(local_loss, has_aux=True)(
+            params
+        )
+        loss = jax.lax.psum(loss_loc, GRAPH_AXIS)
+        acc = jax.lax.psum(acc_loc, GRAPH_AXIS)
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, GRAPH_AXIS), grads)
+        params, opt_state = adam.adam_update(params, grads, opt_state, **hp)
+        return params, opt_state, loss, acc
+
+    smapped = shard_map(
+        step, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )
+
+    def wrapper(params, opt_state, pair: DistAggPair, x, y, mask=None):
+        pair_dicts = dict(
+            fwd=dict(rows=pair.fwd.rows, cols=pair.fwd.cols, vals=pair.fwd.vals),
+            bwd=dict(rows=pair.bwd.rows, cols=pair.bwd.cols, vals=pair.bwd.vals),
+        )
+        args = (params, opt_state, pair_dicts, x, y)
+        if use_mask:
+            args = args + (mask,)
+        return smapped(*args)
+
+    return jax.jit(wrapper)

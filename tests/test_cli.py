@@ -61,6 +61,16 @@ def test_cli_train_dist(toy, tmp_path):
     assert len(lines) >= 2
 
 
+def test_cli_train_dist_sage(toy, tmp_path):
+    r = run_cli(
+        ["-P", "4", "-R", "1", "-E", "2", "--model", "sage", "train", toy, "1", "8"],
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    lines = [l for l in r.stderr.splitlines() if l and l[0].isdigit()]
+    assert len(lines) >= 2
+
+
 def test_cli_dist_requires_R(toy, tmp_path):
     r = run_cli(["-P", "4", "-E", "1", "train", toy, "1", "8"], cwd=tmp_path)
     assert r.returncode == 2

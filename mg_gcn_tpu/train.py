@@ -137,6 +137,43 @@ def make_train_step(
     return jax.jit(step, static_argnames=(), donate_argnums=donate_argnums)
 
 
+def make_scan_train_steps(
+    config,
+    num_epochs: int,
+    hparams: dict | None = None,
+    model: str = "gcn",
+) -> Callable:
+    """Multiple epochs in ONE dispatch via lax.scan (the idiomatic JAX
+    training loop): (params, opt_state, pair, x, y, mask) -> (params,
+    opt_state, losses[num_epochs], accs[num_epochs]).
+
+    Removes per-epoch host round-trips — on this setup the dispatch is
+    ~26 ms through the tunnel, a real fraction of a sub-second epoch."""
+    hp = dict(adam.DEFAULT_HPARAMS)
+    if hparams:
+        hp.update(hparams)
+    if model == "gcn":
+        lag = loss_and_grad
+    elif model == "sage":
+        from .models.sage import loss_and_grad as lag  # noqa: F811
+    else:
+        raise ValueError(f"unknown model {model!r}")
+
+    def steps(params, opt_state, pair, x, y, mask):
+        def body(carry, _):
+            params, opt_state = carry
+            loss, acc, grads = lag(params, pair, x, y, config, mask)
+            params, opt_state = adam.adam_update(params, grads, opt_state, **hp)
+            return (params, opt_state), (loss, acc)
+
+        (params, opt_state), (losses, accs) = jax.lax.scan(
+            body, (params, opt_state), None, length=num_epochs
+        )
+        return params, opt_state, losses, accs
+
+    return jax.jit(steps, donate_argnums=(0, 1))
+
+
 @dataclass
 class TrainResult:
     losses: list = field(default_factory=list)

@@ -147,3 +147,36 @@ def test_planted_partition_learnable():
             params, opt, pair, jnp.asarray(x), jnp.asarray(y), None
         )
     assert float(acc) > 0.9, f"final accuracy {float(acc)}"
+
+
+def test_scan_train_matches_loop():
+    """lax.scan multi-epoch step must match per-epoch dispatch exactly."""
+    from mg_gcn_tpu.nn import adam
+    from mg_gcn_tpu.train import build_agg_pair, make_scan_train_steps, make_train_step
+
+    n, f, c = 64, 8, 3
+    rng = np.random.default_rng(55)
+    g = sparse.random_graph(n, 4, seed=56, weights="random")
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, c, n).astype(np.int32))
+    config = GCNConfig(sizes=(f, 8, c))
+    pair = build_agg_pair(g, impl="xla")
+
+    p1 = init_params(config)
+    o1 = adam.adam_init(p1)
+    step = make_train_step(config, donate=False)
+    losses1 = []
+    for _ in range(4):
+        p1, o1, loss, acc = step(p1, o1, pair, x, y, None)
+        losses1.append(float(loss))
+
+    p2 = init_params(config)
+    o2 = adam.adam_init(p2)
+    scan_steps = make_scan_train_steps(config, 4)
+    p2, o2, losses2, accs2 = scan_steps(p2, o2, pair, x, y, None)
+    np.testing.assert_allclose(np.asarray(losses2), losses1, rtol=1e-6)
+    for la, lb in zip(p1, p2):
+        for k in la:
+            np.testing.assert_allclose(
+                np.asarray(lb[k]), np.asarray(la[k]), rtol=1e-5, atol=1e-7
+            )

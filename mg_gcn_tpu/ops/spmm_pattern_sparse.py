@@ -108,8 +108,45 @@ def estimate_occupancy(csr: CSRData) -> float:
     return np.unique(key).size / (n_rb * n_g)
 
 
+def _build_tiles_on_device(pos: np.ndarray, bitpos: np.ndarray, T: int) -> jax.Array:
+    """Compact tile array built by on-device scatter (see
+    spmm_pattern.pack_bits_on_device for the exact-f32-halves trick).
+    Edges may be chunked arbitrarily: the per-position bit sums are additive
+    across chunks because every (pos, bit) pair is unique."""
+    seg_count = T * TILE_R * 128
+    chunk = 1 << 25  # 32M edges per scatter
+
+    @jax.jit
+    def add_chunk(lo, hi, p, b):
+        clamped = jnp.clip(b, 0, 15)
+        clamped_hi = jnp.clip(b - 16, 0, 15)
+        val_lo = jnp.where(b < 16, jnp.int32(1) << clamped, 0).astype(jnp.float32)
+        val_hi = jnp.where((b >= 16) & (b < 32), jnp.int32(1) << clamped_hi, 0).astype(
+            jnp.float32
+        )
+        lo = lo + jax.ops.segment_sum(val_lo, p, num_segments=seg_count)
+        hi = hi + jax.ops.segment_sum(val_hi, p, num_segments=seg_count)
+        return lo, hi
+
+    lo = jnp.zeros(seg_count, jnp.float32)
+    hi = jnp.zeros(seg_count, jnp.float32)
+    nnz = pos.shape[0]
+    for e0 in range(0, max(nnz, 1), chunk):
+        p = pos[e0 : e0 + chunk]
+        b = bitpos[e0 : e0 + chunk]
+        if p.size == 0:
+            break
+        pad = (-p.size) % chunk if nnz > chunk else 0
+        if pad and p.size < chunk:
+            p = np.concatenate([p, np.full(pad, seg_count - 1, np.int32)])
+            b = np.concatenate([b, np.full(pad, 33, np.int32)])
+        lo, hi = add_chunk(lo, hi, jnp.asarray(p), jnp.asarray(b))
+    packed = (hi.astype(jnp.int32) << 16) | lo.astype(jnp.int32)
+    return packed.reshape(T, TILE_R, 128)
+
+
 def block_pattern_pair_from_binary_csr(
-    csr: CSRData, dtype: str = "bfloat16"
+    csr: CSRData, dtype: str = "bfloat16", build_on_device: bool = True
 ) -> tuple[BlockPatternMat, BlockPatternMat]:
     """Build the (Âᵀ·, Â·) block-sparse pair. See spmm_pattern for the
     normalization semantics (gcn.hpp:946-954)."""
@@ -117,7 +154,6 @@ def block_pattern_pair_from_binary_csr(
         raise ValueError("pattern SpMM needs a binary adjacency (data == 1)")
     n = csr.nrows
     n_pad = round_up(n, GROUP)
-    words = n_pad // 32
     n_rb = n_pad // TILE_R
     n_g = n_pad // GROUP
 
@@ -130,6 +166,11 @@ def block_pattern_pair_from_binary_csr(
 
     occupied = np.unique(tile_key)
     T = occupied.shape[0]
+    if T * TILE_R * 128 >= 2**31:
+        raise ValueError(
+            f"{T} occupied tiles exceed int32 addressing; use the dense "
+            "pattern or COO path"
+        )
     tile_index = np.full(n_rb * n_g, -1, np.int64)
     tile_index[occupied] = np.arange(T)
 
@@ -142,15 +183,21 @@ def block_pattern_pair_from_binary_csr(
     word = lcol % 128
     bitpos = (lcol // 128).astype(np.int64)
     pos = (t_of_edge * TILE_R + lrow) * 128 + word
-    flat = np.zeros(T * TILE_R * 128, dtype=np.uint32)
-    order = np.argsort(bitpos, kind="stable")
-    pos_s = pos[order]
-    bounds = np.searchsorted(bitpos[order], np.arange(33))
-    for b in range(32):
-        seg = pos_s[bounds[b] : bounds[b + 1]]
-        if seg.size:
-            flat[seg] |= np.uint32(1 << b)
-    tiles = flat.view(np.int32).reshape(T, TILE_R, 128)
+    if build_on_device:
+        tiles_dev = _build_tiles_on_device(
+            pos.astype(np.int32), bitpos.astype(np.int32), T
+        )
+        tiles = None
+    else:
+        flat = np.zeros(T * TILE_R * 128, dtype=np.uint32)
+        order = np.argsort(bitpos, kind="stable")
+        pos_s = pos[order]
+        bounds = np.searchsorted(bitpos[order], np.arange(33))
+        for b in range(32):
+            seg = pos_s[bounds[b] : bounds[b + 1]]
+            if seg.size:
+                flat[seg] |= np.uint32(1 << b)
+        tiles = flat.view(np.int32).reshape(T, TILE_R, 128)
 
     occ_rb = occupied // n_g
     occ_g = occupied % n_g
@@ -158,7 +205,14 @@ def block_pattern_pair_from_binary_csr(
     # Every output block must be visited at least once or its accumulator is
     # never initialized: append one all-zero tile (index T) and a step for
     # each empty outer block.
-    tiles = np.concatenate([tiles, np.zeros((1, TILE_R, 128), np.int32)])
+    if tiles is None:
+        tiles_all = jnp.concatenate(
+            [tiles_dev, jnp.zeros((1, TILE_R, 128), jnp.int32)]
+        )
+    else:
+        tiles_all = jnp.asarray(
+            np.concatenate([tiles, np.zeros((1, TILE_R, 128), np.int32)])
+        )
 
     def schedule(outer_ids, inner_ids, n_outer):
         missing = np.setdiff1d(np.arange(n_outer), np.unique(outer_ids))
@@ -182,7 +236,7 @@ def block_pattern_pair_from_binary_csr(
         s = np.where(indeg > 0, 1.0 / indeg, 0.0).astype(np.float32)
 
     common = dict(
-        tiles=jnp.asarray(tiles),
+        tiles=tiles_all,
         fwd_tile=jnp.asarray(f_tile),
         fwd_outer=jnp.asarray(f_outer),
         fwd_inner=jnp.asarray(f_inner),

@@ -40,6 +40,14 @@ def clustered_graph(n=9000, k=2, p_in=0.004, p_out=0.00005, seed=0):
     return CSRData.from_scipy(m)
 
 
+def test_device_build_matches_host():
+    g = clustered_graph(n=5000)
+    f1, _ = sps.block_pattern_pair_from_binary_csr(g, build_on_device=True)
+    f2, _ = sps.block_pattern_pair_from_binary_csr(g, build_on_device=False)
+    np.testing.assert_array_equal(np.asarray(f1.tiles), np.asarray(f2.tiles))
+    np.testing.assert_array_equal(np.asarray(f1.fwd_tile), np.asarray(f2.fwd_tile))
+
+
 def test_block_pattern_forward_backward():
     g = clustered_graph()
     fwd, bwd = sps.block_pattern_pair_from_binary_csr(g, dtype="float32")

@@ -23,16 +23,53 @@ from ..formats import CSRData
 from ..ops.spmm import COOMat, spmm
 
 
+def _pagerank_mat(graph: CSRData, impl: str = "auto"):
+    """The iteration matrix M = (row-normalized A)ᵀ as a device sparse op.
+
+    For binary graphs on TPU this is the bit-packed pattern with a pre-scale:
+    M p = Pᵀ (diag(1/outdeg) p) — one PatternMat in "PT" orientation.
+    """
+    from ..ops import spmm_pattern
+
+    if impl == "auto":
+        import jax
+
+        n_pad = spmm_pattern.round_up(graph.nrows, spmm_pattern.N_ALIGN)
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        if (
+            on_tpu
+            and spmm_pattern.is_binary(graph)
+            and n_pad * n_pad / 8 <= 9e9
+        ):
+            impl = "pattern"
+        else:
+            impl = "xla"
+    if impl == "pattern":
+        import jax.numpy as jnp
+
+        n = graph.nrows
+        n_pad = spmm_pattern.round_up(n, spmm_pattern.N_ALIGN)
+        pack = spmm_pattern.pack_bits_on_device(graph, n_pad)
+        outdeg = np.diff(graph.indptr).astype(np.float64)
+        r = np.zeros(n_pad, np.float32)
+        with np.errstate(divide="ignore"):
+            r[:n] = np.where(outdeg > 0, 1.0 / outdeg, 0.0)
+        return spmm_pattern.PatternMat(
+            pack, jnp.asarray(r), n, n_pad, graph.nnz, "PT", "pre", "float32"
+        )
+    a = host_sparse.normalize(graph, axis=False)  # row-stochastic
+    return COOMat.from_csr(host_sparse.transpose(a))
+
+
 def pagerank(
     graph: CSRData,
     damping: float = 0.85,
     eps: float = 1e-4,
     max_iters: int = 1000,
+    impl: str = "auto",
 ) -> np.ndarray:
     """Returns the mean-1-normalized PageRank vector (n,)."""
-    a = host_sparse.normalize(graph, axis=False)  # row-stochastic
-    m = host_sparse.transpose(a)
-    mat = COOMat.from_csr(m)
+    mat = _pagerank_mat(graph, impl)
     n = graph.nrows
 
     @jax.jit

@@ -29,6 +29,26 @@ def test_pagerank_matches_oracle():
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+def test_pagerank_pattern_impl_matches_xla():
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+    from mg_gcn_tpu.ops import spmm_pattern as sp
+
+    def patched(*args, **kw):
+        kw.setdefault("interpret", True)
+        return orig(*args, **kw)
+
+    sp.pl.pallas_call = patched
+    try:
+        g = sparse.random_graph(80, 4, seed=15, weights="ones")
+        got = pagerank(g, impl="pattern")
+        want = pagerank(g, impl="xla")
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    finally:
+        sp.pl.pallas_call = orig
+
+
 def test_pagerank_sums_to_n():
     g = sparse.random_graph(64, 4, seed=2)
     p = pagerank(g)

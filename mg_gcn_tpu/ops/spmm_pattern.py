@@ -48,7 +48,11 @@ from ..formats import CSRData
 
 GROUP = 4096  # pattern columns per 128-word group (32 bit-planes x 128 lanes)
 J_FWD = 512  # forward contraction chunk (pattern rows per grid step)
-O_BWD = 512  # backward output chunk (pattern rows per grid step)
+# Backward output chunk: the dense operand is fully re-streamed once per
+# output block (the inner grid dim must be the accumulation dim), so bigger
+# blocks cut that HBM traffic linearly — 2048 keeps VMEM ~4 MB while making
+# the backward MXU-bound like the forward.
+O_BWD = 2048
 N_ALIGN = GROUP
 
 
@@ -152,6 +156,7 @@ def pack_bits_on_device(csr: CSRData, n_pad: int, row_chunks: int = 8) -> jax.Ar
 
     @jax.jit
     def build_chunk(pos, bit):
+        bit = bit.astype(jnp.int32)
         clamped = jnp.clip(bit, 0, 15)
         clamped_hi = jnp.clip(bit - 16, 0, 15)
         val_lo = jnp.where(bit < 16, jnp.int32(1) << clamped, 0).astype(jnp.float32)
@@ -170,7 +175,7 @@ def pack_bits_on_device(csr: CSRData, n_pad: int, row_chunks: int = 8) -> jax.Ar
         e0, e1 = int(csr.indptr[r0]), int(csr.indptr[r1])
         ne = e1 - e0
         pos = np.empty(emax, np.int32)
-        bit = np.empty(emax, np.int32)
+        bit = np.empty(emax, np.int8)  # bit index < 34: int8 halves transfer
         if use_native:
             from .. import native
 

@@ -118,6 +118,7 @@ def _build_tiles_on_device(pos: np.ndarray, bitpos: np.ndarray, T: int) -> jax.A
 
     @jax.jit
     def add_chunk(lo, hi, p, b):
+        b = b.astype(jnp.int32)
         clamped = jnp.clip(b, 0, 15)
         clamped_hi = jnp.clip(b - 16, 0, 15)
         val_lo = jnp.where(b < 16, jnp.int32(1) << clamped, 0).astype(jnp.float32)
@@ -139,7 +140,7 @@ def _build_tiles_on_device(pos: np.ndarray, bitpos: np.ndarray, T: int) -> jax.A
         pad = (-p.size) % chunk if nnz > chunk else 0
         if pad and p.size < chunk:
             p = np.concatenate([p, np.full(pad, seg_count - 1, np.int32)])
-            b = np.concatenate([b, np.full(pad, 33, np.int32)])
+            b = np.concatenate([b, np.full(pad, 33, b.dtype)])
         lo, hi = add_chunk(lo, hi, jnp.asarray(p), jnp.asarray(b))
     packed = (hi.astype(jnp.int32) << 16) | lo.astype(jnp.int32)
     return packed.reshape(T, TILE_R, 128)
@@ -185,7 +186,7 @@ def block_pattern_pair_from_binary_csr(
     pos = (t_of_edge * TILE_R + lrow) * 128 + word
     if build_on_device:
         tiles_dev = _build_tiles_on_device(
-            pos.astype(np.int32), bitpos.astype(np.int32), T
+            pos.astype(np.int32), bitpos.astype(np.int8), T
         )
         tiles = None
     else:

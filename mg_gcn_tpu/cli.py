@@ -81,7 +81,9 @@ def build_parser() -> argparse.ArgumentParser:
         "breakdown to the timer CSV (diagnostic; un-fused epoch)",
     )
     p.add_argument("--csv-dir", default="csvs")
-    p.add_argument("command", help="train | pagerank")
+    p.add_argument("--damping", type=float, default=0.85, help="pagerank damping")
+    p.add_argument("--eps", type=float, default=1e-4, help="pagerank tolerance")
+    p.add_argument("command", help="train | infer | pagerank")
     p.add_argument("args", nargs="*", help="command arguments")
     return p
 
@@ -349,6 +351,52 @@ def _train_dist_sage(opts, ds, config, hparams, params, opt_state, timers):
     return params, opt_state, 0
 
 
+def cmd_infer(opts) -> int:
+    """Inference/serving path: load a checkpoint, run the forward pass, write
+    predictions (and logits) in the raw dense format. The reference's
+    equivalent is gcn::operator() (gcn.hpp:966-969)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .formats import Dataset, write_dense
+    from .models.gcn import GCNConfig, forward, init_params
+    from .nn import adam
+
+    if len(opts.args) < 2:
+        print("infer requires: <data_dir> <L> <d1> ... <dL>", file=sys.stderr)
+        return 2
+    if not opts.load:
+        print("infer requires --load CHECKPOINT", file=sys.stderr)
+        return 2
+    data_dir = opts.args[0]
+    num_sizes = int(opts.args[1])
+    hidden = [int(x) for x in opts.args[2 : 2 + num_sizes]]
+    ds = Dataset.load(data_dir)
+    sizes = [ds.num_features, *hidden, ds.num_labels]
+    if opts.P > 1:
+        sizes[-1] = (sizes[-1] + opts.P - 1) // opts.P * opts.P
+    config = GCNConfig(sizes=tuple(sizes))
+
+    from .checkpoint import load_checkpoint
+    from .train import build_agg_pair
+
+    template = init_params(config)
+    params, _ = load_checkpoint(opts.load, (template, adam.adam_init(template)))
+    pair = build_agg_pair(ds.graph, impl=opts.impl, pattern_dtype=opts.pattern_dtype)
+    x = jnp.asarray(ds.features, jnp.float32)
+    t0 = time.perf_counter()
+    logits = jax.jit(lambda p, pr, x: forward(p, pr, x, config))(params, pair, x)
+    preds = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+    dt = time.perf_counter() - t0
+    y = ds.labels.reshape(-1)
+    acc = float((preds == y).mean())
+    print(f"inference: n={ds.num_nodes} acc={acc} seconds={dt}", file=sys.stderr)
+    out = opts.save or "predictions.bin"
+    write_dense(out, preds.reshape(-1, 1), np.int32)
+    print(f"wrote {out}", file=sys.stderr)
+    return 0
+
+
 def cmd_pagerank(opts) -> int:
     from .formats import read_pigo_csr
     from .models.pagerank import pagerank, pagerank_dist
@@ -361,9 +409,9 @@ def cmd_pagerank(opts) -> int:
     if opts.P > 1:
         from .parallel import dist
 
-        p = pagerank_dist(graph, dist.make_mesh(opts.P))
+        p = pagerank_dist(graph, dist.make_mesh(opts.P), damping=opts.damping, eps=opts.eps)
     else:
-        p = pagerank(graph)
+        p = pagerank(graph, damping=opts.damping, eps=opts.eps)
     dt = time.perf_counter() - t0
     print(f"pagerank n={p.shape[0]} sum={p.sum():.3f} seconds={dt}", file=sys.stderr)
     out = opts.save or "pagerank.bin"
@@ -391,6 +439,8 @@ def main(argv=None) -> int:
     opts = build_parser().parse_args(argv)
     if opts.command == "train":
         return cmd_train(opts)
+    if opts.command == "infer":
+        return cmd_infer(opts)
     if opts.command == "pagerank":
         return cmd_pagerank(opts)
     print(f"Unknown command: {opts.command}", file=sys.stderr)

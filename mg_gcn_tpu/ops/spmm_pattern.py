@@ -297,13 +297,17 @@ def spmm_pattern(mat: PatternMat, b: jax.Array) -> jax.Array:
             cm = _pattern_call_bwd(mat, bm).astype(jnp.float32)
             c = cm[:n, :d] * qscale[None, :]
     elif mat.orientation == "PT":
-        bf = jnp.zeros((d_pad, n_pad), jnp.float32)
-        bf = bf.at[:d, :n].set(b.T)
+        # cast once here: casting inside the kernel would re-convert the
+        # operand on every outer grid iteration, and bf16 halves streaming
+        op_dt = mat.compute_dtype if mat.compute_dtype == jnp.bfloat16 else jnp.float32
+        bf = jnp.zeros((d_pad, n_pad), op_dt)
+        bf = bf.at[:d, :n].set(b.T.astype(op_dt))
         cf = _pattern_call_fwd(mat, bf)
         c = cf[:d, :n].T
     else:
-        bm = jnp.zeros((n_pad, d_pad), jnp.float32)
-        bm = bm.at[:n, :d].set(b)
+        op_dt = mat.compute_dtype if mat.compute_dtype == jnp.bfloat16 else jnp.float32
+        bm = jnp.zeros((n_pad, d_pad), op_dt)
+        bm = bm.at[:n, :d].set(b.astype(op_dt))
         cm = _pattern_call_bwd(mat, bm)
         c = cm[:n, :d]
     if mat.scale_side == "post":

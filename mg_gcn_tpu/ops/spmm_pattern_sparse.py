@@ -385,10 +385,12 @@ def spmm_block_pattern(mat: BlockPatternMat, b: jax.Array) -> jax.Array:
             bm = jnp.zeros((n_pad, d_pad), jnp.int8).at[:n, :d].set(bq)
             c = _call_bwd(mat, bm).astype(jnp.float32)[:n, :d] * qscale[None, :]
     elif mat.orientation == "PT":
-        bf = jnp.zeros((d_pad, n_pad), jnp.float32).at[:d, :n].set(b.T)
+        op_dt = mat.compute_dtype if mat.compute_dtype == jnp.bfloat16 else jnp.float32
+        bf = jnp.zeros((d_pad, n_pad), op_dt).at[:d, :n].set(b.T.astype(op_dt))
         c = _call_fwd(mat, bf)[:d, :n].T
     else:
-        bm = jnp.zeros((n_pad, d_pad), jnp.float32).at[:n, :d].set(b)
+        op_dt = mat.compute_dtype if mat.compute_dtype == jnp.bfloat16 else jnp.float32
+        bm = jnp.zeros((n_pad, d_pad), op_dt).at[:n, :d].set(b.astype(op_dt))
         c = _call_bwd(mat, bm)[:n, :d]
     if mat.scale_side == "post":
         c = c * mat.scale[:n, None]

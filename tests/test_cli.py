@@ -90,6 +90,25 @@ def test_cli_checkpoint_roundtrip(toy, tmp_path):
     assert r2.returncode == 0, r2.stderr
 
 
+def test_cli_infer(toy, tmp_path):
+    ck = tmp_path / "m.ckpt.npz"
+    r = run_cli(["-E", "3", "--save", str(ck), "train", toy, "1", "8"], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    r2 = run_cli(["--load", str(ck), "infer", toy, "1", "8"], cwd=tmp_path)
+    assert r2.returncode == 0, r2.stderr
+    assert "inference:" in r2.stderr
+    from mg_gcn_tpu.formats import read_dense
+
+    preds = read_dense(tmp_path / "predictions.bin", np.int32)
+    assert preds.shape == (4, 1)
+
+
+def test_cli_infer_requires_checkpoint(toy, tmp_path):
+    r = run_cli(["infer", toy, "1", "8"], cwd=tmp_path)
+    assert r.returncode == 2
+    assert "--load" in r.stderr
+
+
 def test_cli_pagerank(toy, tmp_path):
     r = run_cli(["pagerank", toy], cwd=tmp_path)
     assert r.returncode == 0, r.stderr

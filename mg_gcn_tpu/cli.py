@@ -48,7 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-N", action="store_true", help="no-wait: force overlap (ring)")
     p.add_argument("--exact", action="store_true", help="exact autodiff gradients")
     p.add_argument("--mask-train", action="store_true", help="loss on train set only")
-    p.add_argument("--impl", default="auto", choices=["auto", "pattern", "block", "xla", "pallas"])
+    p.add_argument(
+        "--impl",
+        default="auto",
+        choices=["auto", "pattern", "block", "xla", "pallas", "halo"],
+        help="aggregation engine; 'halo' (P>1) exchanges only referenced "
+        "feature rows (papers100M-scale storage mode)",
+    )
     p.add_argument("--model", default="gcn", choices=["gcn", "sage"])
     p.add_argument(
         "--pattern-dtype",
@@ -286,11 +292,24 @@ def _train_dist(opts, ds, config, hparams, params, opt_state, timers):
                 return params, opt_state, 2
             a = host_sparse.normalize(ds.graph, axis=True)  # main.cpp:143
             a_t = host_sparse.transpose(a)
-            dpair = dist.DistAggPair.from_csr_pair(a_t, a, P)
+            if opts.impl in ("halo", "auto"):
+                # halo exchange: ship only referenced feature rows — the
+                # huge-graph mode (auto's fallback when pattern is infeasible)
+                from .parallel import dist_halo
+
+                dpair = dist_halo.DistHaloPair.from_csr_pair(a_t, a, P)
+                pair_kind = "halo"
+                print(
+                    f"halo exchange: {dpair.fwd.halo_total} rows/SpMM fwd "
+                    f"(dense bcast would move {(P - 1) * n})",
+                    file=sys.stderr,
+                )
+            else:
+                dpair = dist.DistAggPair.from_csr_pair(a_t, a, P)
+                pair_kind = "coo"
             x = jnp.asarray(ds.features, jnp.float32)
             y = jnp.asarray(ds.labels.reshape(-1).astype(np.int32))
             mask = jnp.asarray(np_mask) if np_mask is not None else None
-            pair_kind = "coo"
     step = dist.make_dist_train_step(
         config,
         mesh,

@@ -483,6 +483,11 @@ def make_dist_train_step(
         pair_spec = dict(fwd=mat_spec, bwd=mat_spec)
     elif pair_kind == "pattern":
         pair_spec = dict(pack_fwd=shard_rows, pack_bwd=shard_rows, scale=shard_rows)
+    elif pair_kind == "halo":
+        from . import dist_halo
+
+        mat_spec = {k: shard_rows for k in dist_halo.MAT_FIELDS}
+        pair_spec = dict(fwd=mat_spec, bwd=mat_spec)
     else:
         raise ValueError(f"unknown pair_kind {pair_kind!r}")
     params_spec = [
@@ -510,6 +515,13 @@ def make_dist_train_step(
             )
             agg_fwd = lambda h: dist_aggregate(f, h, parts, strategy)
             agg_bwd = lambda g: dist_aggregate(b, g, parts, strategy)
+        elif pair_kind == "halo":
+            from . import dist_halo
+
+            f = {k: pair["fwd"][k][0] for k in dist_halo.MAT_FIELDS}
+            b = {k: pair["bwd"][k][0] for k in dist_halo.MAT_FIELDS}
+            agg_fwd = lambda h: dist_halo.dist_aggregate_halo(f, h, parts)
+            agg_bwd = lambda g: dist_halo.dist_aggregate_halo(b, g, parts)
         else:
             pack_fwd = pair["pack_fwd"][0]
             pack_bwd = pair["pack_bwd"][0]
@@ -535,6 +547,13 @@ def make_dist_train_step(
             pair_dicts = dict(
                 fwd=dict(rows=pair.fwd.rows, cols=pair.fwd.cols, vals=pair.fwd.vals),
                 bwd=dict(rows=pair.bwd.rows, cols=pair.bwd.cols, vals=pair.bwd.vals),
+            )
+        elif pair_kind == "halo":
+            from . import dist_halo
+
+            pair_dicts = dict(
+                fwd={k: getattr(pair.fwd, k) for k in dist_halo.MAT_FIELDS},
+                bwd={k: getattr(pair.bwd, k) for k in dist_halo.MAT_FIELDS},
             )
         else:
             pair_dicts = dict(

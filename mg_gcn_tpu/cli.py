@@ -63,6 +63,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="MXU input dtype for the pattern SpMM kernel (int8 = 2x "
         "throughput with 8-bit-quantized activations)",
     )
+    p.add_argument(
+        "--exchange",
+        default="auto",
+        choices=["auto", "ring", "all_gather", "fused"],
+        help="P>1 feature-exchange schedule: ring = XLA ppermute rounds "
+        "(default, -N), all_gather = bulk exchange (-S), fused = single "
+        "RDMA-ring pallas kernel per SpMM (pattern pair only)",
+    )
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--wd", type=float, default=5e-4)
     p.add_argument("--b1", type=float, default=0.9)
@@ -253,6 +261,8 @@ def _train_dist(opts, ds, config, hparams, params, opt_state, timers):
         )
         return params, opt_state, 2
     strategy = "all_gather" if opts.S else "ring"
+    if opts.exchange != "auto":
+        strategy = opts.exchange
     with timers.span("0_preprocess"):
         n = ds.num_nodes
         mesh = dist.make_mesh(P)
@@ -310,6 +320,13 @@ def _train_dist(opts, ds, config, hparams, params, opt_state, timers):
             x = jnp.asarray(ds.features, jnp.float32)
             y = jnp.asarray(ds.labels.reshape(-1).astype(np.int32))
             mask = jnp.asarray(np_mask) if np_mask is not None else None
+    if strategy == "fused" and pair_kind != "pattern":
+        print(
+            "--exchange fused needs the bit-pattern pair (binary adjacency "
+            "within the pattern memory budget)",
+            file=sys.stderr,
+        )
+        return params, opt_state, 2
     step = dist.make_dist_train_step(
         config,
         mesh,

@@ -297,6 +297,28 @@ def dist_aggregate_pattern(
             **mat_meta,
         )
 
+    if strategy == "fused":
+        # single fused RDMA-ring kernel per direction: the P-round schedule,
+        # inter-chip transfers (in compute dtype) and MXU work live in one
+        # pallas call (ops/spmm_pattern_ring.py)
+        from ..ops import spmm_pattern_ring as ring
+
+        op_dt = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+        if orientation == "PT":
+            bf0 = jnp.zeros((d_pad, m_loc), op_dt).at[:d, :].set(h.T.astype(op_dt))
+            cf = ring.ring_pattern_fwd(
+                pack_local, bf0, parts, GRAPH_AXIS, interpret=interpret
+            )
+            cf = cf * scale_local[None, :]
+            return cf[:d, :].T
+        g0 = jnp.zeros((m_loc, d_pad), op_dt).at[:, :d].set(
+            (h * scale_local[:, None]).astype(op_dt)
+        )
+        acc = ring.ring_pattern_bwd(
+            pack_local, g0, parts, GRAPH_AXIS, interpret=interpret
+        )
+        return acc[:, :d]
+
     if orientation == "PT":  # forward, feature-major circulation
         bf0 = jnp.zeros((d_pad, m_loc), jnp.float32).at[:d, :].set(h.T)
         cf = jnp.zeros((d_pad, m_loc), jnp.float32)
@@ -456,6 +478,7 @@ def make_dist_train_step(
     use_mask: bool = False,
     pair_kind: str = "coo",
     pattern_dtype: str = "bfloat16",
+    interpret: bool = False,
 ):
     """Build the jitted distributed train step.
 
@@ -527,10 +550,10 @@ def make_dist_train_step(
             pack_bwd = pair["pack_bwd"][0]
             scale = pair["scale"][0]
             agg_fwd = lambda h: dist_aggregate_pattern(
-                pack_fwd, scale, h, parts, "PT", pattern_dtype, strategy
+                pack_fwd, scale, h, parts, "PT", pattern_dtype, strategy, interpret
             )
             agg_bwd = lambda g: dist_aggregate_pattern(
-                pack_bwd, scale, g, parts, "P", pattern_dtype, strategy
+                pack_bwd, scale, g, parts, "P", pattern_dtype, strategy, interpret
             )
         loss, acc, grads = dist_loss_and_grad(
             params, agg_fwd, agg_bwd, x, y, config, n_total, mask

@@ -367,14 +367,27 @@ def _train_dist_sage(opts, ds, config, hparams, params, opt_state, timers):
         m = host_sparse.normalize(ds.graph, axis=False)
         m_t = host_sparse.transpose(m)
         mesh = dist.make_mesh(P)
-        dpair = dist.DistAggPair.from_csr_pair(m, m_t, P)
+        if opts.impl == "halo":
+            from .parallel import dist_halo
+
+            dpair = dist_halo.DistHaloPair.from_csr_pair(m, m_t, P)
+            pair_kind = "halo"
+        else:
+            dpair = dist.DistAggPair.from_csr_pair(m, m_t, P)
+            pair_kind = "coo"
         x = jnp.asarray(ds.features, jnp.float32)
         y = jnp.asarray(ds.labels.reshape(-1).astype(np.int32))
         mask = (
             jnp.asarray(ds.sets.reshape(-1) == 0) if config.loss_mask == "train" else None
         )
     step = dist.make_dist_sage_train_step(
-        config, mesh, n, hparams, strategy=strategy, use_mask=mask is not None
+        config,
+        mesh,
+        n,
+        hparams,
+        strategy=strategy,
+        use_mask=mask is not None,
+        pair_kind=pair_kind,
     )
     for e in range(opts.E):
         t0 = time.perf_counter()

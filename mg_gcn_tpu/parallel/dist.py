@@ -603,6 +603,7 @@ def make_dist_sage_train_step(
     hparams: dict | None = None,
     strategy: str = "ring",
     use_mask: bool = False,
+    pair_kind: str = "coo",
 ):
     """Distributed GraphSAGE train step (row partition, exact autodiff).
 
@@ -610,7 +611,9 @@ def make_dist_sage_train_step(
     GCN; gradients are taken per device by autodiff (the ppermute transpose
     is the reverse permute) and psum'd, mirroring the replicated-weight
     allreduce. ``pair`` must be a DistAggPair built from (M, Mᵀ) with
-    M = row-normalized adjacency (models/sage.py semantics).
+    M = row-normalized adjacency (models/sage.py semantics), or a
+    DistHaloPair (pair_kind="halo") for the halo-exchange storage mode —
+    autodiff differentiates through the halo gather + ppermute exactly.
     """
     try:
         from jax import shard_map
@@ -626,7 +629,14 @@ def make_dist_sage_train_step(
 
     repl = P()
     shard_rows = P(GRAPH_AXIS)
-    mat_spec = dict(rows=shard_rows, cols=shard_rows, vals=shard_rows)
+    if pair_kind == "coo":
+        mat_spec = dict(rows=shard_rows, cols=shard_rows, vals=shard_rows)
+    elif pair_kind == "halo":
+        from . import dist_halo
+
+        mat_spec = {k: shard_rows for k in dist_halo.MAT_FIELDS}
+    else:
+        raise ValueError(f"unknown pair_kind {pair_kind!r}")
     pair_spec = dict(fwd=mat_spec, bwd=mat_spec)
     params_spec = [
         {k: repl for k in ("Wself", "Wneigh", "b")} for _ in range(config.num_layers)
@@ -639,12 +649,18 @@ def make_dist_sage_train_step(
 
     def step(params, opt_state, pair, x, y, *maybe_mask):
         mask = maybe_mask[0] if maybe_mask else None
-        f = dict(
-            rows=pair["fwd"]["rows"][0],
-            cols=pair["fwd"]["cols"][0],
-            vals=pair["fwd"]["vals"][0],
-        )
-        agg = lambda h: dist_aggregate(f, h, parts, strategy)
+        if pair_kind == "coo":
+            f = dict(
+                rows=pair["fwd"]["rows"][0],
+                cols=pair["fwd"]["cols"][0],
+                vals=pair["fwd"]["vals"][0],
+            )
+            agg = lambda h: dist_aggregate(f, h, parts, strategy)
+        else:
+            from . import dist_halo
+
+            f = {k: pair["fwd"][k][0] for k in dist_halo.MAT_FIELDS}
+            agg = lambda h: dist_halo.dist_aggregate_halo(f, h, parts)
         yv = y.reshape(-1)
         if mask is None:
             denom = jnp.asarray(n_total, jnp.float32)
@@ -688,11 +704,19 @@ def make_dist_sage_train_step(
         step, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
     )
 
-    def wrapper(params, opt_state, pair: DistAggPair, x, y, mask=None):
-        pair_dicts = dict(
-            fwd=dict(rows=pair.fwd.rows, cols=pair.fwd.cols, vals=pair.fwd.vals),
-            bwd=dict(rows=pair.bwd.rows, cols=pair.bwd.cols, vals=pair.bwd.vals),
-        )
+    def wrapper(params, opt_state, pair, x, y, mask=None):
+        if pair_kind == "coo":
+            pair_dicts = dict(
+                fwd=dict(rows=pair.fwd.rows, cols=pair.fwd.cols, vals=pair.fwd.vals),
+                bwd=dict(rows=pair.bwd.rows, cols=pair.bwd.cols, vals=pair.bwd.vals),
+            )
+        else:
+            from . import dist_halo
+
+            pair_dicts = dict(
+                fwd={k: getattr(pair.fwd, k) for k in dist_halo.MAT_FIELDS},
+                bwd={k: getattr(pair.bwd, k) for k in dist_halo.MAT_FIELDS},
+            )
         args = (params, opt_state, pair_dicts, x, y)
         if use_mask:
             args = args + (mask,)

@@ -115,6 +115,38 @@ def test_halo_train_decreases_loss(mesh4):
     assert losses[-1] < losses[0]
 
 
+def test_halo_sage_matches_coo(mesh4):
+    """Distributed SAGE over the halo pair == over the COO ring pair
+    (exact autodiff through the halo gather + ppermute)."""
+    from mg_gcn_tpu.models.sage import SAGEConfig, init_params as sage_init
+
+    n, f, c = 64, 12, 4
+    rng = np.random.default_rng(9)
+    g = sparse.random_graph(n, 6, seed=13, weights="random")
+    m = sparse.normalize(g, axis=False)
+    m_t = sparse.transpose(m)
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, c, n).astype(np.int32))
+    config = SAGEConfig(sizes=(f, 8, c))
+    params = sage_init(config)
+    opt = adam.adam_init(params)
+
+    pair_c = dist.DistAggPair.from_csr_pair(m, m_t, 4, pad_to=8)
+    step_c = dist.make_dist_sage_train_step(config, mesh4, n)
+    pc, _, loss_c, _ = step_c(params, opt, pair_c, x, y)
+
+    pair_h = dist_halo.DistHaloPair.from_csr_pair(m, m_t, 4, pad_to=8)
+    step_h = dist.make_dist_sage_train_step(config, mesh4, n, pair_kind="halo")
+    ph, _, loss_h, _ = step_h(params, opt, pair_h, x, y)
+
+    np.testing.assert_allclose(float(loss_h), float(loss_c), rtol=1e-5)
+    for lc, lh in zip(pc, ph):
+        for k in lc:
+            np.testing.assert_allclose(
+                np.asarray(lh[k]), np.asarray(lc[k]), rtol=2e-4, atol=2e-6
+            )
+
+
 def test_halo_rejects_indivisible():
     a, _ = make_graph(30)
     with pytest.raises(ValueError, match="divisible"):

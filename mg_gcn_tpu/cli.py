@@ -335,6 +335,7 @@ def _train_dist(opts, ds, config, hparams, params, opt_state, timers):
         strategy=strategy,
         use_mask=mask is not None,
         pair_kind=pair_kind,
+        pattern_dtype=opts.pattern_dtype,
     )
     for e in range(opts.E):
         t0 = time.perf_counter()

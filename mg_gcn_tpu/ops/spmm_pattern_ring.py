@@ -305,7 +305,7 @@ def ring_pattern_fwd(
         out_specs=pl.BlockSpec(
             (d_pad, GROUP), lambda g, s, cb: (0, g), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((d_pad, m), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((d_pad, m), _acc_dtype(cdtype)),
         scratch_shapes=[
             pltpu.HBM((max(parts - 1, 1), d_pad, m), cdtype),
             pltpu.VMEM((2, d_pad, J_FWD), cdtype),
@@ -352,7 +352,7 @@ def ring_pattern_bwd(
         out_specs=pl.BlockSpec(
             (O_BWD, d_pad), lambda rb, s, gg: (rb, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((m, d_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m, d_pad), _acc_dtype(cdtype)),
         scratch_shapes=[
             pltpu.HBM((max(parts - 1, 1), m, d_pad), cdtype),
             pltpu.VMEM((2, GROUP, d_pad), cdtype),

@@ -280,13 +280,27 @@ def dist_aggregate_pattern(
     Forward ("PT"): C_j = s_j ⊙ Σ_s (P[k_s rows, j cols])ᵀ B_{k_s} — the
     feature-major kernel, post-scaled. Backward ("P"): pre-scale own shard,
     circulate, row-major kernel. Strategy "all_gather" trades the ring for
-    one bulk gather (reference -S).
+    one bulk gather (reference -S); "fused" runs the whole schedule in one
+    RDMA-ring pallas kernel (ops/spmm_pattern_ring.py).
+
+    dtype_name "int8": per-feature symmetric quantization with a *global*
+    scale (``pmax`` over the mesh, so every device quantizes identically —
+    same math as the single-chip int8 mode), int32 accumulation, and int8
+    blocks on the wire (¼ the ICI bytes of the f32 ppermute path).
     """
     from ..ops import spmm_pattern as sp
 
     m_loc, d = h.shape
     d_pad = sp.round_up(max(d, 8), 8)
     perm = _ring_perm(parts)
+    int8_mode = dtype_name == "int8"
+    qscale = None
+    if int8_mode:
+        if orientation != "PT":
+            h = h * scale_local[:, None]  # fold pre-scale in before quantizing
+        qloc = jnp.max(jnp.abs(h), axis=0)  # (d,)
+        qscale = jnp.maximum(jax.lax.pmax(qloc, GRAPH_AXIS), 1e-30) / 127.0
+        h = jnp.clip(jnp.round(h / qscale[None, :]), -127, 127).astype(jnp.int8)
     mat_meta = dict(n=m_loc, n_pad=m_loc, nnz=0, scale_side="none", dtype_name=dtype_name)
 
     def round_mat(s):
@@ -297,32 +311,34 @@ def dist_aggregate_pattern(
             **mat_meta,
         )
 
-    if strategy == "fused":
-        # single fused RDMA-ring kernel per direction: the P-round schedule,
-        # inter-chip transfers (in compute dtype) and MXU work live in one
-        # pallas call (ops/spmm_pattern_ring.py)
-        from ..ops import spmm_pattern_ring as ring
+    # operand dtype on the wire and in the MXU: bf16 (or int8) blocks are
+    # cast/quantized ONCE here, so the ring circulates 2x (4x) fewer ICI
+    # bytes than an f32 exchange with identical results (the cast is
+    # deterministic; the per-round kernels would apply it anyway)
+    if int8_mode:
+        op_dt = jnp.int8
+    elif dtype_name == "bfloat16":
+        op_dt = jnp.bfloat16
+    else:
+        op_dt = jnp.float32
 
-        op_dt = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
-        if orientation == "PT":
-            bf0 = jnp.zeros((d_pad, m_loc), op_dt).at[:d, :].set(h.T.astype(op_dt))
+    def dequant_cols(acc):  # acc (*, d_pad) int32 -> f32 with per-feature scales
+        acc = acc.astype(jnp.float32)
+        if int8_mode:
+            qpad = jnp.zeros((d_pad,), jnp.float32).at[:d].set(qscale)
+            acc = acc * qpad[None, :]
+        return acc
+
+    if orientation == "PT":  # forward, feature-major circulation
+        bf0 = jnp.zeros((d_pad, m_loc), op_dt).at[:d, :].set(h.T.astype(op_dt))
+        if strategy == "fused":
+            from ..ops import spmm_pattern_ring as ring
+
             cf = ring.ring_pattern_fwd(
                 pack_local, bf0, parts, GRAPH_AXIS, interpret=interpret
             )
-            cf = cf * scale_local[None, :]
-            return cf[:d, :].T
-        g0 = jnp.zeros((m_loc, d_pad), op_dt).at[:, :d].set(
-            (h * scale_local[:, None]).astype(op_dt)
-        )
-        acc = ring.ring_pattern_bwd(
-            pack_local, g0, parts, GRAPH_AXIS, interpret=interpret
-        )
-        return acc[:, :d]
-
-    if orientation == "PT":  # forward, feature-major circulation
-        bf0 = jnp.zeros((d_pad, m_loc), jnp.float32).at[:d, :].set(h.T)
-        cf = jnp.zeros((d_pad, m_loc), jnp.float32)
-        if strategy == "all_gather":
+        elif strategy == "all_gather":
+            cf = jnp.zeros((d_pad, m_loc), sp._acc_dtype(op_dt))
             bf_all = jax.lax.all_gather(bf0, GRAPH_AXIS)  # (P, d_pad, m_loc)
             j = jax.lax.axis_index(GRAPH_AXIS)
             for s in range(parts):
@@ -331,19 +347,30 @@ def dist_aggregate_pattern(
                     round_mat(s), jax.lax.dynamic_index_in_dim(bf_all, k, 0, False)
                 )
         else:
+            cf = jnp.zeros((d_pad, m_loc), sp._acc_dtype(op_dt))
             bf = bf0
             for s in range(parts):
                 cf = cf + sp._pattern_call_fwd(round_mat(s), bf)
                 if s + 1 < parts:
                     bf = jax.lax.ppermute(bf, GRAPH_AXIS, perm=perm)
+        cf = cf.astype(jnp.float32)
+        if int8_mode:
+            qpad = jnp.zeros((d_pad,), jnp.float32).at[:d].set(qscale)
+            cf = cf * qpad[:, None]
         cf = cf * scale_local[None, :]
         return cf[:d, :].T
     # backward ("P"), row-major circulation with pre-scaled own shard
-    g0 = jnp.zeros((m_loc, d_pad), jnp.float32).at[:, :d].set(
-        h * scale_local[:, None]
-    )
-    acc = jnp.zeros((m_loc, d_pad), jnp.float32)
-    if strategy == "all_gather":
+    # (int8 mode folded the pre-scale in before quantizing above)
+    pre = h if int8_mode else h * scale_local[:, None]
+    g0 = jnp.zeros((m_loc, d_pad), op_dt).at[:, :d].set(pre.astype(op_dt))
+    if strategy == "fused":
+        from ..ops import spmm_pattern_ring as ring
+
+        acc = ring.ring_pattern_bwd(
+            pack_local, g0, parts, GRAPH_AXIS, interpret=interpret
+        )
+    elif strategy == "all_gather":
+        acc = jnp.zeros((m_loc, d_pad), sp._acc_dtype(op_dt))
         g_all = jax.lax.all_gather(g0, GRAPH_AXIS)
         j = jax.lax.axis_index(GRAPH_AXIS)
         for s in range(parts):
@@ -352,12 +379,13 @@ def dist_aggregate_pattern(
                 round_mat(s), jax.lax.dynamic_index_in_dim(g_all, k, 0, False)
             )
     else:
+        acc = jnp.zeros((m_loc, d_pad), sp._acc_dtype(op_dt))
         g = g0
         for s in range(parts):
             acc = acc + sp._pattern_call_bwd(round_mat(s), g)
             if s + 1 < parts:
                 g = jax.lax.ppermute(g, GRAPH_AXIS, perm=perm)
-    return acc[:, :d]
+    return dequant_cols(acc)[:, :d]
 
 
 def _dist_layer_forward(layer, meta, agg_fwd, h, slope):

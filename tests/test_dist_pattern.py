@@ -37,14 +37,14 @@ def setup_pair(n=5000, deg=4, parts=2):
     return g, pair, a_hat
 
 
-def _run_agg(mesh, pair, h_global, orientation, strategy):
+def _run_agg(mesh, pair, h_global, orientation, strategy, dtype="float32"):
     parts = pair.parts
     spec = jax.sharding.PartitionSpec(dist.GRAPH_AXIS)
 
     def body(pf, pb, sc, h):
         pack = pf[0] if orientation == "PT" else pb[0]
         return dist.dist_aggregate_pattern(
-            pack, sc[0], h, parts, orientation, "float32", strategy
+            pack, sc[0], h, parts, orientation, dtype, strategy
         )
 
     f = jax.jit(
@@ -80,6 +80,25 @@ def test_dist_pattern_backward(mesh2, strategy):
     got = _run_agg(mesh2, pair, jnp.asarray(h), "P", strategy)
     want = a_hat @ h[:n]
     np.testing.assert_allclose(got[:n], want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("orientation", ["PT", "P"])
+def test_dist_pattern_int8_matches_single_chip(mesh2, orientation):
+    """Distributed int8 mode must perform the SAME per-feature global
+    quantization as the single-chip int8 path (pmax'd scales), not a cast."""
+    from mg_gcn_tpu.ops.spmm_pattern import pattern_pair_from_binary_csr, spmm_pattern
+
+    n = 5000
+    g = sparse.random_graph(n, 4, seed=21, weights="ones")
+    pair = dist.DistPatternPair.from_binary_csr(g, 2, dtype="int8")
+    n_pad = pair.n_pad
+    h = np.zeros((n_pad, 8), np.float32)
+    h[:n] = np.random.default_rng(2).standard_normal((n, 8))
+    got = _run_agg(mesh2, pair, jnp.asarray(h), orientation, "ring", dtype="int8")
+
+    fwd1, bwd1 = pattern_pair_from_binary_csr(g, dtype="int8")
+    single = spmm_pattern(fwd1 if orientation == "PT" else bwd1, jnp.asarray(h[:n]))
+    np.testing.assert_allclose(got[:n], np.asarray(single), rtol=1e-5, atol=1e-6)
 
 
 def test_dist_pattern_train_step(mesh2):

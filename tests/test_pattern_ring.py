@@ -77,6 +77,52 @@ def test_fused_ring_backward(mesh2, mesh4, parts):
     np.testing.assert_allclose(got[:n], want, rtol=1e-5, atol=1e-5)
 
 
+def test_fused_ring_int8_matches_xla_ring(mesh2):
+    """int8 blocks on the wire through the fused kernel == the ppermute
+    int8 path (identical quantization, exact int32 accumulation)."""
+    g, pair, a_hat = setup_pair(parts=2)
+    n, n_pad, d = pair.n, pair.n_pad, 8
+    h = np.zeros((n_pad, d), np.float32)
+    h[:n] = np.random.default_rng(7).standard_normal((n, d))
+    spec = jax.sharding.PartitionSpec(dist.GRAPH_AXIS)
+
+    def run(strategy, interpret):
+        def body(pf, sc, hh):
+            return dist.dist_aggregate_pattern(
+                pf[0], sc[0], hh, 2, "PT", "int8", strategy, interpret
+            )
+
+        f = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh2,
+                in_specs=(spec, spec, spec),
+                out_specs=spec,
+                check_vma=False,
+            )
+        )
+        return np.asarray(f(pair.pack_fwd, pair.scale, jnp.asarray(h)))
+
+    got = run("fused", True)
+
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return orig(*args, **kwargs)
+
+    from mg_gcn_tpu.ops import spmm_pattern as sp
+
+    sp.pl.pallas_call = patched
+    try:
+        want = run("ring", False)
+    finally:
+        sp.pl.pallas_call = orig
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_fused_train_step_matches_ring(mesh2):
     """Full train step with strategy='fused' == XLA-ppermute pattern step."""
     from mg_gcn_tpu.models.gcn import GCNConfig, init_params

@@ -64,6 +64,14 @@ def build_parser() -> argparse.ArgumentParser:
         "throughput with 8-bit-quantized activations)",
     )
     p.add_argument(
+        "--multihost",
+        action="store_true",
+        help="form a multi-process JAX runtime (jax.distributed.initialize) "
+        "before training: the graph mesh then spans all hosts (ICI within a "
+        "host, DCN across), and each process materializes only its own row "
+        "shards",
+    )
+    p.add_argument(
         "--exchange",
         default="auto",
         choices=["auto", "ring", "all_gather", "fused"],
@@ -289,8 +297,12 @@ def _train_dist(opts, ds, config, hparams, params, opt_state, timers):
             np_mask = valid if np_mask is None else np.concatenate(
                 [np_mask, np.zeros(n_pad - n, bool)]
             )
-            x, y = jnp.asarray(x_np), jnp.asarray(y_np)
-            mask = jnp.asarray(np_mask)
+            from .parallel import multihost
+
+            dpair = multihost.tree_shard_put(dpair, mesh, dpair.shardings(mesh))
+            x = multihost.shard_put(x_np, mesh)
+            y = multihost.shard_put(y_np, mesh)
+            mask = multihost.shard_put(np_mask, mesh)
             pair_kind = "pattern"
         else:
             if n % P:
@@ -317,9 +329,12 @@ def _train_dist(opts, ds, config, hparams, params, opt_state, timers):
             else:
                 dpair = dist.DistAggPair.from_csr_pair(a_t, a, P)
                 pair_kind = "coo"
-            x = jnp.asarray(ds.features, jnp.float32)
-            y = jnp.asarray(ds.labels.reshape(-1).astype(np.int32))
-            mask = jnp.asarray(np_mask) if np_mask is not None else None
+            from .parallel import multihost
+
+            dpair = multihost.tree_shard_put(dpair, mesh, dpair.shardings(mesh))
+            x = multihost.shard_put(ds.features.astype(np.float32), mesh)
+            y = multihost.shard_put(ds.labels.reshape(-1).astype(np.int32), mesh)
+            mask = multihost.shard_put(np_mask, mesh) if np_mask is not None else None
     if strategy == "fused" and pair_kind != "pattern":
         print(
             "--exchange fused needs the bit-pattern pair (binary adjacency "
@@ -487,6 +502,10 @@ def _enable_compile_cache() -> None:
 def main(argv=None) -> int:
     _enable_compile_cache()
     opts = build_parser().parse_args(argv)
+    if opts.multihost:
+        from .parallel import multihost
+
+        multihost.initialize()
     if opts.command == "train":
         return cmd_train(opts)
     if opts.command == "infer":

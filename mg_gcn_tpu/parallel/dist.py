@@ -216,6 +216,20 @@ class DistPatternPair:
             nnz=csr.nnz,
         )
 
+    def shardings(self, mesh: Mesh):
+        spec = NamedSharding(mesh, P(GRAPH_AXIS))
+        return DistPatternPair(
+            pack_fwd=spec,
+            pack_bwd=spec,
+            scale=spec,
+            n=self.n,
+            n_pad=self.n_pad,
+            parts=self.parts,
+            m_loc=self.m_loc,
+            dtype_name=self.dtype_name,
+            nnz=self.nnz,
+        )
+
 
 def _local_block_spmm(rows, cols, vals, b, num_rows):
     g = b[cols] * vals[:, None].astype(b.dtype)

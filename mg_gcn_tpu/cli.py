@@ -499,7 +499,18 @@ def _enable_compile_cache() -> None:
     os.makedirs(cache, exist_ok=True)
 
 
+def _apply_platform_env() -> None:
+    # Honor JAX_PLATFORMS even where a sitecustomize pins jax_platforms
+    # (the axon TPU tunnel does); the config wins over the env var.
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+
+
 def main(argv=None) -> int:
+    _apply_platform_env()
     _enable_compile_cache()
     opts = build_parser().parse_args(argv)
     if opts.multihost:

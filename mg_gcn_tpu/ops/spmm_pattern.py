@@ -121,72 +121,68 @@ def is_binary(csr: CSRData) -> bool:
 def pack_bits_on_device(csr: CSRData, n_pad: int, row_chunks: int = 8) -> jax.Array:
     """Build the packed pattern on the accelerator.
 
-    The host only computes per-edge word positions (int32, ~4 bytes/edge)
-    and ships those; the 6.8-GB-scale bit array is materialized on device by
-    segment-summing power-of-two bit values (exact: every (position, bit)
-    pair is unique, and each 16-bit half stays < 2^16, exact in f32). This
-    sidesteps both the slow first-touch host memory of the sandbox VM and a
-    multi-minute n²/8-byte host->device transfer.
+    The host ships only 3 bytes per edge (column index split uint16 lo +
+    uint8 hi) plus the tiny indptr; rows, word positions and bit indices are
+    derived on device, and the n²/8-scale bit array is materialized by one
+    int32 segment-sum of power-of-two values per chunk (exact: every
+    (position, bit) pair is unique, so wraparound int32 addition equals the
+    bitwise OR). Chunks are written in place into a donated output buffer.
+    This sidesteps both the slow first-touch host memory of the sandbox VM
+    and a multi-minute n²/8-byte host->device transfer.
     """
     n = csr.nrows
     words = n_pad // 32
-    try:
-        from .. import native
-
-        use_native = native.available()
-    except ImportError:
-        use_native = False
-    if not use_native:
-        counts = np.diff(csr.indptr).astype(np.int32)
-        rows = np.repeat(np.arange(n, dtype=np.int32), counts)
-        cols = csr.indices.astype(np.int32, copy=False)
-        word = ((cols >> 12) << 7) | (cols & 127)  # GROUP=4096 strided layout
-        bitpos = ((cols & (GROUP - 1)) >> 7).astype(np.int32)
-
+    if n > 1 << 24:
+        raise ValueError("pattern packing supports n <= 2^24 column indices")
     rows_per = n_pad // row_chunks
     if n_pad % row_chunks:
         raise ValueError("row_chunks must divide n_pad")
     seg_count = rows_per * words
-    # uniform chunk size for one compiled scatter
-    chunk_edges = [
-        int(csr.indptr[min((c + 1) * rows_per, n)]) - int(csr.indptr[min(c * rows_per, n)])
+    indptr = csr.indptr.astype(np.int64, copy=False)
+    chunk_e = [
+        (int(indptr[min(c * rows_per, n)]), int(indptr[min((c + 1) * rows_per, n)]))
         for c in range(row_chunks)
     ]
-    emax = max(max(chunk_edges), 1)
+    emax = max(max(e1 - e0 for e0, e1 in chunk_e), 1)
 
-    @jax.jit
-    def build_chunk(pos, bit):
-        bit = bit.astype(jnp.int32)
-        clamped = jnp.clip(bit, 0, 15)
-        clamped_hi = jnp.clip(bit - 16, 0, 15)
-        val_lo = jnp.where(bit < 16, jnp.int32(1) << clamped, 0).astype(jnp.float32)
-        val_hi = jnp.where(
-            (bit >= 16) & (bit < 32), jnp.int32(1) << clamped_hi, 0
-        ).astype(jnp.float32)
-        lo = jax.ops.segment_sum(val_lo, pos, num_segments=seg_count)
-        hi = jax.ops.segment_sum(val_hi, pos, num_segments=seg_count)
-        packed = (hi.astype(jnp.int32) << 16) | lo.astype(jnp.int32)
-        return packed.reshape(rows_per, words)
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def add_chunk(pack, lo, hi, ptr, ne, c):
+        idx = jnp.arange(emax, dtype=jnp.int32)
+        valid = idx < ne
+        cols = lo.astype(jnp.int32) | (hi.astype(jnp.int32) << 16)
+        # row index of each edge: +1 marker at every row-start edge position
+        marker = jnp.zeros(emax, jnp.int32).at[ptr[:-1]].add(1, mode="drop")
+        rows = jnp.cumsum(marker) - 1
+        word = ((cols >> 12) << 7) | (cols & 127)  # GROUP=4096 strided layout
+        bit = (cols >> 7) & 31
+        pos = jnp.where(valid, rows * words + word, seg_count - 1)
+        val = jnp.where(valid, jnp.int32(1) << bit, 0)
+        part = jax.ops.segment_sum(val, pos, num_segments=seg_count)
+        return jax.lax.dynamic_update_slice(
+            pack, part.reshape(rows_per, words), (c * rows_per, 0)
+        )
 
-    parts = []
+    # enqueue all host->device transfers up front so they overlap the scatters
+    staged = []
     for c in range(row_chunks):
         r0 = min(c * rows_per, n)
-        r1 = min((c + 1) * rows_per, n)
-        e0, e1 = int(csr.indptr[r0]), int(csr.indptr[r1])
+        e0, e1 = chunk_e[c]
         ne = e1 - e0
-        pos = np.empty(emax, np.int32)
-        bit = np.empty(emax, np.int8)  # bit index < 34: int8 halves transfer
-        if use_native:
-            from .. import native
-
-            pos[:ne], bit[:ne] = native.pack_positions(csr, r0, r1, words)
-        else:
-            pos[:ne] = (rows[e0:e1] - r0) * words + word[e0:e1]
-            bit[:ne] = bitpos[e0:e1]
-        pos[ne:] = seg_count - 1  # padding edges contribute 0
-        bit[ne:] = 33  # outside both halves
-        parts.append(build_chunk(jnp.asarray(pos), jnp.asarray(bit)))
-    return jnp.concatenate(parts, axis=0)
+        cols = csr.indices[e0:e1].astype(np.int32, copy=False)
+        lo = np.zeros(emax, np.uint16)
+        hi = np.zeros(emax, np.uint8)
+        lo[:ne] = cols.astype(np.uint16)
+        hi[:ne] = (cols >> 16).astype(np.uint8)
+        r1 = min(r0 + rows_per, n)
+        ptr = np.full(rows_per + 1, ne, np.int32)
+        ptr[: r1 - r0 + 1] = (indptr[r0 : r1 + 1] - e0).astype(np.int32)
+        staged.append(
+            (jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(ptr), jnp.int32(ne))
+        )
+    pack = jnp.zeros((n_pad, words), jnp.int32)
+    for c, (lo, hi, ptr, ne) in enumerate(staged):
+        pack = add_chunk(pack, lo, hi, ptr, ne, jnp.int32(c))
+    return pack
 
 
 def pattern_pair_from_binary_csr(

@@ -102,10 +102,14 @@ def estimate_occupancy(csr: CSRData) -> float:
     n_pad = round_up(csr.nrows, GROUP)
     n_g = n_pad // GROUP
     n_rb = n_pad // TILE_R
-    counts = np.diff(csr.indptr).astype(np.int64)
-    rows = np.repeat(np.arange(csr.nrows, dtype=np.int64), counts)
-    key = (rows // TILE_R) * n_g + csr.indices.astype(np.int64) // GROUP
-    return np.unique(key).size / (n_rb * n_g)
+    occ = np.zeros((n_rb, n_g), bool)
+    indptr, cols, n = csr.indptr, csr.indices, csr.nrows
+    for rb in range(n_rb):
+        e0 = int(indptr[min(rb * TILE_R, n)])
+        e1 = int(indptr[min((rb + 1) * TILE_R, n)])
+        if e1 > e0:
+            occ[rb, cols[e0:e1] >> 12] = True  # GROUP = 4096 = 1 << 12
+    return occ.sum() / (n_rb * n_g)
 
 
 def _build_tiles_on_device(pos: np.ndarray, bitpos: np.ndarray, T: int) -> jax.Array:

@@ -125,6 +125,7 @@ def main() -> None:
     from mg_gcn_tpu.ops.spmm import AggPair
     from mg_gcn_tpu.ops.spmm_pattern import PatternMat
 
+    int8_scan_epoch_s = None
     if isinstance(pair.fwd, PatternMat):
         # same packed bits, int8 MXU passes — no extra memory. Fresh params:
         # the donating train step consumed the previous pytrees.
@@ -135,6 +136,17 @@ def main() -> None:
         params8 = init_params(config)
         opt8 = adam.adam_init(params8)
         int8_epoch_s = run_epochs(step, params8, opt8, pair8, "int8")
+        p8, o8 = init_params(config), adam.adam_init(init_params(config))
+        p8, o8, losses8, _ = scan_steps(p8, o8, pair8, x, y, None)
+        float(losses8[-1])
+        stimes = []
+        for _ in range(2):
+            s = time.perf_counter()
+            p8, o8, losses8, _ = scan_steps(p8, o8, pair8, x, y, None)
+            float(losses8[-1])
+            stimes.append((time.perf_counter() - s) / SCAN)
+        int8_scan_epoch_s = min(stimes)
+        print(f"[int8-scan] {int8_scan_epoch_s:.3f}s/epoch", file=sys.stderr)
 
     value = SPMM_PER_EPOCH * nnz / epoch_s
     out = {
@@ -149,6 +161,9 @@ def main() -> None:
     if int8_epoch_s:
         out["int8_epoch_seconds"] = int8_epoch_s
         out["int8_edges_per_s"] = SPMM_PER_EPOCH * nnz / int8_epoch_s
+    if int8_scan_epoch_s:
+        out["int8_scan_epoch_seconds"] = int8_scan_epoch_s
+        out["int8_scan_edges_per_s"] = SPMM_PER_EPOCH * nnz / int8_scan_epoch_s
     print(json.dumps(out))
 
 

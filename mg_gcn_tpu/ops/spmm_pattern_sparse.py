@@ -16,10 +16,15 @@ differs:
 
 Schedules are scalar-prefetched (``pltpu.PrefetchScalarGridSpec``): per grid
 step t, prefetched arrays give the tile id (pack block index), the outer
-block id (output index), the inner block id (dense-operand index) and a
-first-visit flag for accumulator initialization. Uniform random graphs have
-~100% occupancy and match the dense-pattern kernel; a k-community graph has
-~1/k occupancy and runs ~k× faster.
+block id (output index), the inner block id (dense-operand index), a
+first-visit flag for accumulator initialization, and a 32-bit **plane mask**
+of which (TILE_R × 128)-column bit-planes of the tile contain any edge — the
+kernel predicates each plane's MXU matmul on its mask bit, so *compute*
+skips at 512×128 granularity while *storage* stays at tile granularity.
+Uniform random graphs have ~100% occupancy and match the dense-pattern
+kernel; a k-community graph has ~1/k occupancy and runs ~k× faster, with the
+plane masks recovering most of the finer-than-tile sparsity that background
+inter-community edges would otherwise spoil.
 """
 
 from __future__ import annotations
@@ -34,9 +39,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..formats import CSRData
-from .spmm_pattern import GROUP, _acc_dtype, _planes, is_binary, round_up
+from .spmm_pattern import GROUP, _acc_dtype, is_binary, round_up
 
 TILE_R = 512  # tile rows (= J_FWD = O_BWD of the dense-pattern kernel)
+
+
+def _unpack_plane(pack_i32, b: int, cdtype):
+    """Bit-plane b of an i32 word block as a 0/1 matrix in the MXU dtype."""
+    plane = (pack_i32 >> b) & jnp.int32(1)
+    if cdtype == jnp.int8:
+        return plane.astype(jnp.int8)
+    return plane.astype(jnp.float32).astype(cdtype)
 
 
 @functools.partial(
@@ -47,13 +60,17 @@ TILE_R = 512  # tile rows (= J_FWD = O_BWD of the dense-pattern kernel)
         "fwd_outer",
         "fwd_inner",
         "fwd_first",
+        "fwd_pmask",
         "bwd_tile",
         "bwd_outer",
         "bwd_inner",
         "bwd_first",
+        "bwd_pmask",
         "scale",
     ],
-    meta_fields=["n", "n_pad", "nnz", "orientation", "scale_side", "dtype_name"],
+    meta_fields=[
+        "n", "n_pad", "nnz", "orientation", "scale_side", "dtype_name", "tile_r",
+    ],
 )
 @dataclass(frozen=True)
 class BlockPatternMat:
@@ -70,10 +87,12 @@ class BlockPatternMat:
     fwd_outer: jax.Array  # i32[Sf]  (column-group id -> output block)
     fwd_inner: jax.Array  # i32[Sf]  (row-chunk id -> dense-operand block)
     fwd_first: jax.Array  # i32[Sf]
+    fwd_pmask: jax.Array  # i32[Sf]  (bit b set <=> plane b of the tile nonempty)
     bwd_tile: jax.Array
     bwd_outer: jax.Array  # (row-block id -> output block)
     bwd_inner: jax.Array  # (column-group id -> dense-operand block)
     bwd_first: jax.Array
+    bwd_pmask: jax.Array
     scale: jax.Array
     n: int
     n_pad: int
@@ -81,6 +100,7 @@ class BlockPatternMat:
     orientation: str  # "PT" | "P"
     scale_side: str
     dtype_name: str = "bfloat16"
+    tile_r: int = TILE_R
 
     @property
     def compute_dtype(self):
@@ -92,32 +112,39 @@ class BlockPatternMat:
 
     @property
     def occupancy(self) -> float:
-        total = (self.n_pad // TILE_R) * (self.n_pad // GROUP)
+        total = (self.n_pad // self.tile_r) * (self.n_pad // GROUP)
         return self.num_tiles / total
 
 
-def estimate_occupancy(csr: CSRData) -> float:
-    """Fraction of (TILE_R × GROUP) tile regions containing any edge —
-    one cheap pass over the edge list; used to pick dense vs block-sparse."""
+def estimate_occupancy(csr: CSRData) -> tuple[float, float]:
+    """(tile_occ, plane_occ): fraction of (TILE_R × GROUP) tile regions and
+    of (TILE_R × 128) plane regions containing any edge — one cheap pass over
+    the edge list. tile_occ governs block-sparse *memory* and streaming;
+    plane_occ governs *compute* (the kernel skips whole empty tiles and,
+    within occupied tiles, empty 128-column bit-planes)."""
     n_pad = round_up(csr.nrows, GROUP)
     n_g = n_pad // GROUP
     n_rb = n_pad // TILE_R
     occ = np.zeros((n_rb, n_g), bool)
+    pocc = np.zeros((n_rb, n_pad // 128), bool)
     indptr, cols, n = csr.indptr, csr.indices, csr.nrows
     for rb in range(n_rb):
         e0 = int(indptr[min(rb * TILE_R, n)])
         e1 = int(indptr[min((rb + 1) * TILE_R, n)])
         if e1 > e0:
             occ[rb, cols[e0:e1] >> 12] = True  # GROUP = 4096 = 1 << 12
-    return occ.sum() / (n_rb * n_g)
+            pocc[rb, cols[e0:e1] >> 7] = True  # plane = 128 columns
+    return occ.sum() / occ.size, pocc.sum() / pocc.size
 
 
-def _build_tiles_on_device(pos: np.ndarray, bitpos: np.ndarray, T: int) -> jax.Array:
+def _build_tiles_on_device(
+    pos: np.ndarray, bitpos: np.ndarray, T: int, tile_r: int = TILE_R
+) -> jax.Array:
     """Compact tile array built by on-device scatter (see
     spmm_pattern.pack_bits_on_device for the exact-f32-halves trick).
     Edges may be chunked arbitrarily: the per-position bit sums are additive
     across chunks because every (pos, bit) pair is unique."""
-    seg_count = T * TILE_R * 128
+    seg_count = T * tile_r * 128
     chunk = 1 << 25  # 32M edges per scatter
 
     @jax.jit
@@ -147,11 +174,14 @@ def _build_tiles_on_device(pos: np.ndarray, bitpos: np.ndarray, T: int) -> jax.A
             b = np.concatenate([b, np.full(pad, 33, b.dtype)])
         lo, hi = add_chunk(lo, hi, jnp.asarray(p), jnp.asarray(b))
     packed = (hi.astype(jnp.int32) << 16) | lo.astype(jnp.int32)
-    return packed.reshape(T, TILE_R, 128)
+    return packed.reshape(T, tile_r, 128)
 
 
 def block_pattern_pair_from_binary_csr(
-    csr: CSRData, dtype: str = "bfloat16", build_on_device: bool = True
+    csr: CSRData,
+    dtype: str = "bfloat16",
+    build_on_device: bool = True,
+    tile_r: int = TILE_R,
 ) -> tuple[BlockPatternMat, BlockPatternMat]:
     """Build the (Âᵀ·, Â·) block-sparse pair. See spmm_pattern for the
     normalization semantics (gcn.hpp:946-954)."""
@@ -159,19 +189,21 @@ def block_pattern_pair_from_binary_csr(
         raise ValueError("pattern SpMM needs a binary adjacency (data == 1)")
     n = csr.nrows
     n_pad = round_up(n, GROUP)
-    n_rb = n_pad // TILE_R
+    if GROUP % tile_r:
+        raise ValueError(f"tile_r {tile_r} must divide GROUP={GROUP}")
+    n_rb = n_pad // tile_r
     n_g = n_pad // GROUP
 
     counts = np.diff(csr.indptr).astype(np.int64)
     rows = np.repeat(np.arange(n, dtype=np.int64), counts)
     cols = csr.indices.astype(np.int64)
-    rb = rows // TILE_R
+    rb = rows // tile_r
     gb = cols // GROUP
     tile_key = rb * n_g + gb
 
     occupied = np.unique(tile_key)
     T = occupied.shape[0]
-    if T * TILE_R * 128 >= 2**31:
+    if T * tile_r * 128 >= 2**31:
         raise ValueError(
             f"{T} occupied tiles exceed int32 addressing; use the dense "
             "pattern or COO path"
@@ -183,18 +215,18 @@ def block_pattern_pair_from_binary_csr(
     # (<GROUP) -> word [t, r, c % 128], bit c // 128 (the strided layout of
     # spmm_pattern restricted to one group)
     t_of_edge = tile_index[tile_key]
-    lrow = (rows % TILE_R).astype(np.int64)
+    lrow = (rows % tile_r).astype(np.int64)
     lcol = (cols % GROUP).astype(np.int64)
     word = lcol % 128
     bitpos = (lcol // 128).astype(np.int64)
-    pos = (t_of_edge * TILE_R + lrow) * 128 + word
+    pos = (t_of_edge * tile_r + lrow) * 128 + word
     if build_on_device:
         tiles_dev = _build_tiles_on_device(
-            pos.astype(np.int32), bitpos.astype(np.int8), T
+            pos.astype(np.int32), bitpos.astype(np.int8), T, tile_r
         )
         tiles = None
     else:
-        flat = np.zeros(T * TILE_R * 128, dtype=np.uint32)
+        flat = np.zeros(T * tile_r * 128, dtype=np.uint32)
         order = np.argsort(bitpos, kind="stable")
         pos_s = pos[order]
         bounds = np.searchsorted(bitpos[order], np.arange(33))
@@ -202,7 +234,7 @@ def block_pattern_pair_from_binary_csr(
             seg = pos_s[bounds[b] : bounds[b + 1]]
             if seg.size:
                 flat[seg] |= np.uint32(1 << b)
-        tiles = flat.view(np.int32).reshape(T, TILE_R, 128)
+        tiles = flat.view(np.int32).reshape(T, tile_r, 128)
 
     occ_rb = occupied // n_g
     occ_g = occupied % n_g
@@ -212,12 +244,20 @@ def block_pattern_pair_from_binary_csr(
     # each empty outer block.
     if tiles is None:
         tiles_all = jnp.concatenate(
-            [tiles_dev, jnp.zeros((1, TILE_R, 128), jnp.int32)]
+            [tiles_dev, jnp.zeros((1, tile_r, 128), jnp.int32)]
         )
     else:
         tiles_all = jnp.asarray(
-            np.concatenate([tiles, np.zeros((1, TILE_R, 128), np.int32)])
+            np.concatenate([tiles, np.zeros((1, tile_r, 128), np.int32)])
         )
+
+    # per-tile plane masks: bit b set iff plane b (tile columns
+    # [b·128, (b+1)·128)) contains an edge; padding tile T stays 0
+    tile_pmask = np.zeros(T + 1, np.uint32)
+    for b in range(32):
+        sel = t_of_edge[bitpos == b]
+        if sel.size:
+            tile_pmask[sel] |= np.uint32(1 << b)
 
     def schedule(outer_ids, inner_ids, n_outer):
         missing = np.setdiff1d(np.arange(n_outer), np.unique(outer_ids))
@@ -229,12 +269,13 @@ def block_pattern_pair_from_binary_csr(
         outer = outer_all[order].astype(np.int32)
         inner = inner_all[order].astype(np.int32)
         first = np.concatenate([[1], (outer[1:] != outer[:-1]).astype(np.int32)])
-        return tile, outer, inner, first
+        pmask = tile_pmask[tile].view(np.int32)
+        return tile, outer, inner, first, pmask
 
     # forward: outer = column-group (output), inner = row-block (operand)
-    f_tile, f_outer, f_inner, f_first = schedule(occ_g, occ_rb, n_g)
+    f_tile, f_outer, f_inner, f_first, f_pmask = schedule(occ_g, occ_rb, n_g)
     # backward: outer = row-block (output), inner = column-group (operand)
-    b_tile, b_outer, b_inner, b_first = schedule(occ_rb, occ_g, n_rb)
+    b_tile, b_outer, b_inner, b_first, b_pmask = schedule(occ_rb, occ_g, n_rb)
 
     indeg = np.bincount(csr.indices, minlength=n_pad).astype(np.float64)
     with np.errstate(divide="ignore"):
@@ -246,15 +287,18 @@ def block_pattern_pair_from_binary_csr(
         fwd_outer=jnp.asarray(f_outer),
         fwd_inner=jnp.asarray(f_inner),
         fwd_first=jnp.asarray(f_first),
+        fwd_pmask=jnp.asarray(f_pmask),
         bwd_tile=jnp.asarray(b_tile),
         bwd_outer=jnp.asarray(b_outer),
         bwd_inner=jnp.asarray(b_inner),
         bwd_first=jnp.asarray(b_first),
+        bwd_pmask=jnp.asarray(b_pmask),
         scale=jnp.asarray(s),
         n=n,
         n_pad=n_pad,
         nnz=csr.nnz,
         dtype_name=dtype,
+        tile_r=tile_r,
     )
     fwd = BlockPatternMat(orientation="PT", scale_side="post", **common)
     bwd = BlockPatternMat(orientation="P", scale_side="pre", **common)
@@ -262,7 +306,8 @@ def block_pattern_pair_from_binary_csr(
 
 
 def _fwd_kernel_sparse(
-    tile_ref, outer_ref, inner_ref, first_ref, b_ref, pack_ref, out_ref, *, cdtype
+    tile_ref, outer_ref, inner_ref, first_ref, pmask_ref, b_ref, pack_ref, out_ref,
+    plane_ref, *, cdtype,
 ):
     t = pl.program_id(0)
 
@@ -270,15 +315,23 @@ def _fwd_kernel_sparse(
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    bf = b_ref[:] if b_ref.dtype == cdtype else b_ref[:].astype(cdtype)
-    pack = pack_ref[0]
-    for b, plane in _planes(pack, cdtype):
-        sl = slice(b * 128, (b + 1) * 128)
-        out_ref[:, sl] += jnp.dot(bf, plane, preferred_element_type=_acc_dtype(cdtype))
+    pmask = pmask_ref[t]
+    for b in range(32):
+        @pl.when(((pmask >> b) & 1) == 1)
+        def _(b=b):
+            # unpack into the shared scratch so the 32 predicated branches
+            # reuse one VMEM buffer instead of each allocating stack space
+            plane_ref[:] = _unpack_plane(pack_ref[0], b, cdtype)
+            bf = b_ref[:] if b_ref.dtype == cdtype else b_ref[:].astype(cdtype)
+            sl = slice(b * 128, (b + 1) * 128)
+            out_ref[:, sl] += jnp.dot(
+                bf, plane_ref[:], preferred_element_type=_acc_dtype(cdtype)
+            )
 
 
 def _bwd_kernel_sparse(
-    tile_ref, outer_ref, inner_ref, first_ref, b_ref, pack_ref, out_ref, *, cdtype
+    tile_ref, outer_ref, inner_ref, first_ref, pmask_ref, b_ref, pack_ref, out_ref,
+    plane_ref, *, cdtype,
 ):
     t = pl.program_id(0)
 
@@ -286,86 +339,97 @@ def _bwd_kernel_sparse(
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    pack = pack_ref[0]
-    acc = out_ref[:]
-    for b, plane in _planes(pack, cdtype):
-        blk = b_ref[b * 128 : (b + 1) * 128, :]
-        if blk.dtype != cdtype:
-            blk = blk.astype(cdtype)
-        acc += jnp.dot(plane, blk, preferred_element_type=_acc_dtype(cdtype))
-    out_ref[:] = acc
+    pmask = pmask_ref[t]
+    for b in range(32):
+        @pl.when(((pmask >> b) & 1) == 1)
+        def _(b=b):
+            plane_ref[:] = _unpack_plane(pack_ref[0], b, cdtype)
+            blk = b_ref[b * 128 : (b + 1) * 128, :]
+            if blk.dtype != cdtype:
+                blk = blk.astype(cdtype)
+            out_ref[:] += jnp.dot(
+                plane_ref[:], blk, preferred_element_type=_acc_dtype(cdtype)
+            )
 
 
 def _call_fwd(mat: BlockPatternMat, bf: jax.Array) -> jax.Array:
     d_pad, n_pad = bf.shape
     steps = mat.fwd_tile.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(steps,),
         in_specs=[
             pl.BlockSpec(
-                (d_pad, TILE_R),
-                lambda t, tile, outer, inner, first: (0, inner[t]),
+                (d_pad, mat.tile_r),
+                lambda t, tile, outer, inner, first, pmask: (0, inner[t]),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, TILE_R, 128),
-                lambda t, tile, outer, inner, first: (tile[t], 0, 0),
+                (1, mat.tile_r, 128),
+                lambda t, tile, outer, inner, first, pmask: (tile[t], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (d_pad, GROUP),
-            lambda t, tile, outer, inner, first: (0, outer[t]),
+            lambda t, tile, outer, inner, first, pmask: (0, outer[t]),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[pltpu.VMEM((mat.tile_r, 128), mat.compute_dtype)],
     )
     return pl.pallas_call(
         functools.partial(_fwd_kernel_sparse, cdtype=mat.compute_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((d_pad, n_pad), _acc_dtype(mat.compute_dtype)),
         cost_estimate=pl.CostEstimate(
-            flops=2 * mat.num_tiles * TILE_R * GROUP * d_pad,
+            flops=2 * mat.num_tiles * mat.tile_r * GROUP * d_pad,
             bytes_accessed=mat.tiles.size * 4 + bf.size * 4 * 2,
             transcendentals=0,
         ),
-    )(mat.fwd_tile, mat.fwd_outer, mat.fwd_inner, mat.fwd_first, bf, mat.tiles)
+    )(
+        mat.fwd_tile, mat.fwd_outer, mat.fwd_inner, mat.fwd_first, mat.fwd_pmask,
+        bf, mat.tiles,
+    )
 
 
 def _call_bwd(mat: BlockPatternMat, bm: jax.Array) -> jax.Array:
     n_pad, d_pad = bm.shape
     steps = mat.bwd_tile.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(steps,),
         in_specs=[
             pl.BlockSpec(
                 (GROUP, d_pad),
-                lambda t, tile, outer, inner, first: (inner[t], 0),
+                lambda t, tile, outer, inner, first, pmask: (inner[t], 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, TILE_R, 128),
-                lambda t, tile, outer, inner, first: (tile[t], 0, 0),
+                (1, mat.tile_r, 128),
+                lambda t, tile, outer, inner, first, pmask: (tile[t], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (TILE_R, d_pad),
-            lambda t, tile, outer, inner, first: (outer[t], 0),
+            (mat.tile_r, d_pad),
+            lambda t, tile, outer, inner, first, pmask: (outer[t], 0),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[pltpu.VMEM((mat.tile_r, 128), mat.compute_dtype)],
     )
     return pl.pallas_call(
         functools.partial(_bwd_kernel_sparse, cdtype=mat.compute_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, d_pad), _acc_dtype(mat.compute_dtype)),
         cost_estimate=pl.CostEstimate(
-            flops=2 * mat.num_tiles * TILE_R * GROUP * d_pad,
+            flops=2 * mat.num_tiles * mat.tile_r * GROUP * d_pad,
             bytes_accessed=mat.tiles.size * 4 + bm.size * 4 * 2,
             transcendentals=0,
         ),
-    )(mat.bwd_tile, mat.bwd_outer, mat.bwd_inner, mat.bwd_first, bm, mat.tiles)
+    )(
+        mat.bwd_tile, mat.bwd_outer, mat.bwd_inner, mat.bwd_first, mat.bwd_pmask,
+        bm, mat.tiles,
+    )
 
 
 def spmm_block_pattern(mat: BlockPatternMat, b: jax.Array) -> jax.Array:

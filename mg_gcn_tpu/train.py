@@ -62,11 +62,15 @@ def build_agg_pair(
 
         on_tpu = jax.default_backend() in ("tpu", "axon")
         if on_tpu and not pre_normalized and spmm_pattern.is_binary(graph):
-            occ = spmm_pattern_sparse.estimate_occupancy(graph)
+            tile_occ, plane_occ = spmm_pattern_sparse.estimate_occupancy(graph)
             n_pad = spmm_pattern.round_up(graph.nrows, spmm_pattern.N_ALIGN)
             dense_bytes = n_pad * n_pad / 8
-            block_bytes = occ * dense_bytes
-            if occ < 0.5 and block_bytes <= PATTERN_MEM_BUDGET:
+            block_bytes = tile_occ * dense_bytes
+            # block wins on memory when tiles skip, and on compute when
+            # planes skip (measured: ~2x at plane_occ 0.17, breakeven ~0.4)
+            if (
+                tile_occ < 0.5 or plane_occ < 0.3
+            ) and block_bytes <= PATTERN_MEM_BUDGET:
                 impl = "block"
             elif dense_bytes <= PATTERN_MEM_BUDGET:
                 impl = "pattern"

@@ -101,3 +101,42 @@ def test_block_pattern_in_model():
             np.testing.assert_allclose(
                 np.asarray(d2[k]), np.asarray(d1[k]), rtol=5e-4, atol=1e-5
             )
+
+
+def test_plane_mask_banded_graph():
+    """Banded graph: diagonal tiles are occupied but only 1-2 of their 32
+    column planes contain edges — exercises the per-plane MXU skipping."""
+    n = 9000
+    rng = np.random.default_rng(5)
+    src = np.arange(n).repeat(3)
+    dst = np.clip(src + rng.integers(-60, 61, src.size), 0, n - 1)
+    m = ss.csr_matrix((np.ones(src.size, np.float32), (src, dst)), shape=(n, n))
+    m.data[:] = 1.0
+    g = CSRData.from_scipy(m)
+    fwd, bwd = sps.block_pattern_pair_from_binary_csr(g, dtype="float32")
+    # plane occupancy must be well below tile occupancy for a band
+    pm = np.asarray(fwd.fwd_pmask)
+    live = pm[np.asarray(fwd.fwd_tile) < fwd.num_tiles]
+    plane_frac = np.unpackbits(live.view(np.uint8)).sum() / (live.size * 32)
+    assert plane_frac < 0.25, f"plane occupancy {plane_frac}"
+    b = np.random.default_rng(6).random((n, 10)).astype(np.float32)
+    a_hat = sparse.normalize(g, axis=True).to_dense()
+    got_f = np.asarray(sps.spmm_block_pattern(fwd, jnp.asarray(b)))
+    np.testing.assert_allclose(got_f, a_hat.T @ b, rtol=1e-5, atol=1e-5)
+    got_b = np.asarray(sps.spmm_block_pattern(bwd, jnp.asarray(b)))
+    np.testing.assert_allclose(got_b, a_hat @ b, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("tile_r", [256, 2048])
+def test_block_pattern_tile_r_variants(tile_r):
+    g = clustered_graph(n=5000)
+    fwd, bwd = sps.block_pattern_pair_from_binary_csr(
+        g, dtype="float32", tile_r=tile_r
+    )
+    assert fwd.tiles.shape[1] == tile_r
+    b = np.random.default_rng(7).random((g.nrows, 9)).astype(np.float32)
+    a_hat = sparse.normalize(g, axis=True).to_dense()
+    got_f = np.asarray(sps.spmm_block_pattern(fwd, jnp.asarray(b)))
+    np.testing.assert_allclose(got_f, a_hat.T @ b, rtol=1e-5, atol=1e-5)
+    got_b = np.asarray(sps.spmm_block_pattern(bwd, jnp.asarray(b)))
+    np.testing.assert_allclose(got_b, a_hat @ b, rtol=1e-5, atol=1e-5)

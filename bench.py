@@ -148,6 +148,30 @@ def main() -> None:
         int8_scan_epoch_s = min(stimes)
         print(f"[int8-scan] {int8_scan_epoch_s:.3f}s/epoch", file=sys.stderr)
 
+    # auxiliary: BASELINE config 4 — GraphSAGE mean-aggregate, hidden 512.
+    # Reuses the packed pattern with the SAGE scale (1/out-degree, row-
+    # normalized M): M·B = r ⊙ (P·B), Mᵀ·G = Pᵀ·(r ⊙ G) (models/sage.py).
+    sage_epoch_s = None
+    if isinstance(pair.fwd, PatternMat):
+        from mg_gcn_tpu.models.sage import SAGEConfig, init_params as sage_init
+
+        outdeg = np.diff(graph.indptr).astype(np.float64)
+        r = np.zeros(pair.fwd.n_pad, np.float32)
+        with np.errstate(divide="ignore"):
+            r[:N] = np.where(outdeg > 0, 1.0 / outdeg, 0.0)
+        r = jnp.asarray(r)
+        sage_pair = AggPair(
+            fwd=replace(pair.bwd, scale=r, scale_side="post", dtype_name="bfloat16"),
+            bwd=replace(pair.fwd, scale=r, scale_side="pre", dtype_name="bfloat16"),
+        )
+        sage_config = SAGEConfig(sizes=(FEATURES, 512, CLASSES))
+        sage_params = sage_init(sage_config)
+        sage_opt = adam.adam_init(sage_params)
+        sage_step = make_train_step(sage_config, model="sage")
+        sage_epoch_s = run_epochs(
+            sage_step, sage_params, sage_opt, sage_pair, "sage512"
+        )
+
     value = SPMM_PER_EPOCH * nnz / epoch_s
     out = {
         "metric": "reddit-scale 3x128 full-batch GCN aggregated SpMM throughput",
@@ -164,6 +188,10 @@ def main() -> None:
     if int8_scan_epoch_s:
         out["int8_scan_epoch_seconds"] = int8_scan_epoch_s
         out["int8_scan_edges_per_s"] = SPMM_PER_EPOCH * nnz / int8_scan_epoch_s
+    if sage_epoch_s:
+        # SAGE does 4 aggregation passes/epoch (2 fwd + 2 bwd, exact autodiff)
+        out["sage512_epoch_seconds"] = sage_epoch_s
+        out["sage512_edges_per_s"] = 4 * nnz / sage_epoch_s
     print(json.dumps(out))
 
 

@@ -54,6 +54,12 @@ J_FWD = 512  # forward contraction chunk (pattern rows per grid step)
 # the backward MXU-bound like the forward.
 O_BWD = 2048
 N_ALIGN = GROUP
+# Widest feature block one kernel call may carry: the fwd out block is
+# (d, GROUP) f32 and the bwd operand block is (GROUP, d) bf16, both double-
+# buffered — beyond 256 they blow the ~16 MB scoped VMEM (seen at d=608 on
+# the SAGE config). Wider products are split into D_MAX chunks; the pattern
+# is re-streamed per chunk but the MXU time (the bound) is unchanged.
+D_MAX = 256
 
 
 def round_up(x: int, m: int) -> int:
@@ -312,6 +318,14 @@ def spmm_pattern(mat: PatternMat, b: jax.Array) -> jax.Array:
 
 
 def _pattern_call_fwd(mat: PatternMat, bf: jax.Array) -> jax.Array:
+    if bf.shape[0] > D_MAX:
+        return jnp.concatenate(
+            [
+                _pattern_call_fwd(mat, bf[i : i + D_MAX])
+                for i in range(0, bf.shape[0], D_MAX)
+            ],
+            axis=0,
+        )
     d_pad, n_pad = bf.shape
     n_g = n_pad // GROUP
     n_cb = n_pad // J_FWD
@@ -337,6 +351,14 @@ def _pattern_call_fwd(mat: PatternMat, bf: jax.Array) -> jax.Array:
 
 
 def _pattern_call_bwd(mat: PatternMat, bm: jax.Array) -> jax.Array:
+    if bm.shape[1] > D_MAX:
+        return jnp.concatenate(
+            [
+                _pattern_call_bwd(mat, bm[:, i : i + D_MAX])
+                for i in range(0, bm.shape[1], D_MAX)
+            ],
+            axis=1,
+        )
     n_pad, d_pad = bm.shape
     n_rb = n_pad // O_BWD
     n_g = n_pad // GROUP

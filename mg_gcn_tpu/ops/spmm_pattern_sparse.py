@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..formats import CSRData
-from .spmm_pattern import GROUP, _acc_dtype, is_binary, round_up
+from .spmm_pattern import D_MAX, GROUP, _acc_dtype, is_binary, round_up
 
 TILE_R = 512  # tile rows (= J_FWD = O_BWD of the dense-pattern kernel)
 
@@ -353,6 +353,11 @@ def _bwd_kernel_sparse(
 
 
 def _call_fwd(mat: BlockPatternMat, bf: jax.Array) -> jax.Array:
+    if bf.shape[0] > D_MAX:  # scoped-VMEM bound, see spmm_pattern.D_MAX
+        return jnp.concatenate(
+            [_call_fwd(mat, bf[i : i + D_MAX]) for i in range(0, bf.shape[0], D_MAX)],
+            axis=0,
+        )
     d_pad, n_pad = bf.shape
     steps = mat.fwd_tile.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -393,6 +398,11 @@ def _call_fwd(mat: BlockPatternMat, bf: jax.Array) -> jax.Array:
 
 
 def _call_bwd(mat: BlockPatternMat, bm: jax.Array) -> jax.Array:
+    if bm.shape[1] > D_MAX:
+        return jnp.concatenate(
+            [_call_bwd(mat, bm[:, i : i + D_MAX]) for i in range(0, bm.shape[1], D_MAX)],
+            axis=1,
+        )
     n_pad, d_pad = bm.shape
     steps = mat.bwd_tile.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -162,3 +162,17 @@ def test_pattern_spmm_in_model():
             np.testing.assert_allclose(
                 np.asarray(d2[k]), np.asarray(d1[k]), rtol=5e-4, atol=1e-5
             )
+
+
+def test_pattern_wide_features_chunked():
+    """d > D_MAX exercises the feature-chunked kernel calls (the SAGE-512
+    config OOMed scoped VMEM before wrapper-level chunking)."""
+    n, d = 600, sp.D_MAX + 40
+    g = binary_graph(n, 5, seed=9)
+    fwd, bwd = sp.pattern_pair_from_binary_csr(g, dtype="float32")
+    b = np.random.default_rng(5).random((n, d)).astype(np.float32)
+    a_hat = sparse.normalize(g, axis=True).to_dense()
+    got_f = np.asarray(sp.spmm_pattern(fwd, jnp.asarray(b)))
+    np.testing.assert_allclose(got_f, a_hat.T @ b, rtol=1e-5, atol=1e-5)
+    got_b = np.asarray(sp.spmm_pattern(bwd, jnp.asarray(b)))
+    np.testing.assert_allclose(got_b, a_hat @ b, rtol=1e-5, atol=1e-5)

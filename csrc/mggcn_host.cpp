@@ -107,24 +107,6 @@ void mggcn_transpose(int64_t n, int64_t m, int64_t nnz, const int64_t* indptr,
   delete[] counts;
 }
 
-// Strided pattern-word positions for the bit-packed SpMM kernel
-// (mg_gcn_tpu/ops/spmm_pattern.py): one fused pass producing
-// pos[e] = (rows[e] - row0) * words + (col>>12)*128 + (col&127)
-// bit[e] = (col & 4095) >> 7
-void mggcn_pack_positions(int64_t n, int64_t row0, int64_t words,
-                          const int64_t* indptr, const int32_t* indices,
-                          int32_t* pos, int32_t* bit) {
-#pragma omp parallel for schedule(dynamic, 1024)
-  for (int64_t v = 0; v < n; ++v) {
-    for (int64_t e = indptr[v]; e < indptr[v + 1]; ++e) {
-      const int32_t c = indices[e];
-      pos[e] = (int32_t)((v - row0) * words + ((int64_t)(c >> 12) << 7) +
-                         (c & 127));
-      bit[e] = (c & 4095) >> 7;
-    }
-  }
-}
-
 // P x P communication-volume matrix for a 1-D partition (prep.py:232-272):
 // vol[i*P + j] = number of distinct columns in partition j referenced by
 // rows of partition i. `marks` must hold P*m bytes (caller-zeroed).

@@ -510,8 +510,10 @@ def _apply_platform_env() -> None:
 
 
 def main(argv=None) -> int:
-    _apply_platform_env()
+    # cache env var must be set before the first jax import (jax snapshots
+    # config defaults from os.environ at import time)
     _enable_compile_cache()
+    _apply_platform_env()
     opts = build_parser().parse_args(argv)
     if opts.multihost:
         from .parallel import multihost

@@ -42,19 +42,27 @@ class SAGEConfig:
         return len(self.sizes) - 1
 
 
-def build_sage_pair(graph: CSRData, impl: str = "auto") -> AggPair:
-    """(M, Mᵀ) pair for mean aggregation, M = row-normalized adjacency."""
+def build_sage_pair(graph: CSRData, impl: str = "auto", pack=None) -> AggPair:
+    """(M, Mᵀ) pair for mean aggregation, M = row-normalized adjacency.
+
+    ``pack`` optionally reuses an already-built bit-packed pattern of the
+    same graph (e.g. from a GCN PatternMat) — only the scale differs.
+    """
     from ..ops import spmm_pattern
 
     if impl == "auto":
         n_pad = spmm_pattern.round_up(graph.nrows, spmm_pattern.N_ALIGN)
         fits = n_pad * n_pad / 8 <= 9e9
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        impl = "pattern" if (on_tpu and spmm_pattern.is_binary(graph) and fits) else "xla"
+        if pack is not None or (on_tpu and spmm_pattern.is_binary(graph) and fits):
+            impl = "pattern"
+        else:
+            impl = "xla"
     if impl == "pattern":
         n = graph.nrows
         n_pad = spmm_pattern.round_up(n, spmm_pattern.N_ALIGN)
-        pack = spmm_pattern.pack_bits_on_device(graph, n_pad)
+        if pack is None:
+            pack = spmm_pattern.pack_bits_on_device(graph, n_pad)
         outdeg = np.diff(graph.indptr).astype(np.float64)
         r = np.zeros(n_pad, np.float32)
         with np.errstate(divide="ignore"):

@@ -68,7 +68,6 @@ def _load():
     lib.mggcn_expand_rows.argtypes = [c, _i64p, _i32p]
     lib.mggcn_normalize.argtypes = [c, c, _i64p, _i32p, _f32p, _f32p, ctypes.c_int, _f64p]
     lib.mggcn_transpose.argtypes = [c, c, c, _i64p, _i32p, _f32p, _i64p, _i32p, _f32p]
-    lib.mggcn_pack_positions.argtypes = [c, c, c, _i64p, _i32p, _i32p, _i32p]
     lib.mggcn_comm_volume.argtypes = [c, c, _i64p, _i64p, _i32p, _u8p, c, _i64p]
     lib.mggcn_num_threads.restype = ctypes.c_int
     _lib = lib
@@ -124,23 +123,6 @@ def transpose(csr):
         indptr=t_indptr, indices=t_indices, data=t_data,
         shape=(csr.ncols, csr.nrows),
     )
-
-
-def pack_positions(csr, row0: int, row1: int, words: int):
-    """(pos, bit) int32 arrays for rows [row0, row1) — fused single pass."""
-    lib = _load()
-    indptr, indices, _ = _prep(csr)
-    e0, e1 = int(indptr[row0]), int(indptr[row1])
-    ne = e1 - e0
-    pos = np.empty(ne, np.int32)
-    bit = np.empty(ne, np.int32)
-    sub_indptr = indptr[row0 : row1 + 1] - e0
-    sub_indptr = np.ascontiguousarray(sub_indptr)
-    lib.mggcn_pack_positions(
-        row1 - row0, 0, words, sub_indptr,
-        np.ascontiguousarray(indices[e0:e1]), pos, bit,
-    )
-    return pos, bit
 
 
 def comm_volume(csr, part: np.ndarray) -> np.ndarray:

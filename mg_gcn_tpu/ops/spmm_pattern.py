@@ -138,8 +138,8 @@ def pack_bits_on_device(csr: CSRData, n_pad: int, row_chunks: int = 8) -> jax.Ar
     """
     n = csr.nrows
     words = n_pad // 32
-    if n > 1 << 24:
-        raise ValueError("pattern packing supports n <= 2^24 column indices")
+    if csr.shape[1] > 1 << 24:
+        raise ValueError("pattern packing supports column indices < 2^24")
     rows_per = n_pad // row_chunks
     if n_pad % row_chunks:
         raise ValueError("row_chunks must divide n_pad")
@@ -217,19 +217,23 @@ def pattern_pair_from_binary_csr(
     return fwd, bwd
 
 
-def _planes(pack_i32: jax.Array, cdtype):
-    """Yield (b, plane) for the 32 bit-planes of an i32 block.
+def _unpack_plane(pack_i32: jax.Array, b: int, cdtype):
+    """Bit-plane b of an i32 word block as a 0/1 matrix in the MXU dtype.
 
     Arithmetic >> then &1 reads the same bit as a logical shift; i32->f32 is
     the cast Mosaic supports (u32->bf16 is not implemented). For int8 mode
     the 0/1 plane is truncated directly to int8.
     """
+    plane = (pack_i32 >> b) & jnp.int32(1)
+    if cdtype == jnp.int8:
+        return plane.astype(jnp.int8)
+    return plane.astype(jnp.float32).astype(cdtype)
+
+
+def _planes(pack_i32: jax.Array, cdtype):
+    """Yield (b, plane) for the 32 bit-planes of an i32 block."""
     for b in range(32):
-        plane = (pack_i32 >> b) & jnp.int32(1)
-        if cdtype == jnp.int8:
-            yield b, plane.astype(jnp.int8)
-        else:
-            yield b, plane.astype(jnp.float32).astype(cdtype)
+        yield b, _unpack_plane(pack_i32, b, cdtype)
 
 
 def _acc_dtype(cdtype):

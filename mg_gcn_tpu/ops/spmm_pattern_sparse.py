@@ -39,17 +39,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..formats import CSRData
-from .spmm_pattern import D_MAX, GROUP, _acc_dtype, is_binary, round_up
+from .spmm_pattern import (
+    D_MAX,
+    GROUP,
+    _acc_dtype,
+    _unpack_plane,
+    is_binary,
+    round_up,
+)
 
 TILE_R = 512  # tile rows (= J_FWD = O_BWD of the dense-pattern kernel)
-
-
-def _unpack_plane(pack_i32, b: int, cdtype):
-    """Bit-plane b of an i32 word block as a 0/1 matrix in the MXU dtype."""
-    plane = (pack_i32 >> b) & jnp.int32(1)
-    if cdtype == jnp.int8:
-        return plane.astype(jnp.int8)
-    return plane.astype(jnp.float32).astype(cdtype)
 
 
 @functools.partial(

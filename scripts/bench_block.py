@@ -85,7 +85,7 @@ def main():
                 g, dtype="bfloat16", tile_r=tile_r
             )
             pm = np.asarray(fwd_b.fwd_pmask)
-            live = pm[np.asarray(fwd_b.fwd_tile) < fwd_b.num_tiles]
+            live = pm[np.asarray(fwd_b.fwd_tile) < fwd_b.num_tiles - 1]  # drop padding tile
             plane_frac = np.unpackbits(live.view(np.uint8)).sum() / max(
                 live.size * 32, 1
             )

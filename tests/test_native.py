@@ -46,22 +46,6 @@ def test_transpose():
     np.testing.assert_allclose(t.to_dense(), g.to_dense().T)
 
 
-def test_pack_positions():
-    from mg_gcn_tpu.ops import spmm_pattern as sp
-
-    g = rand_csr(n=300, seed=3, weights="ones")
-    n_pad = sp.round_up(300, sp.N_ALIGN)
-    words = n_pad // 32
-    pos, bit = native.pack_positions(g, 0, 300, words)
-    counts = np.diff(g.indptr)
-    rows = np.repeat(np.arange(300), counts).astype(np.int64)
-    cols = g.indices.astype(np.int64)
-    want_pos = rows * words + (cols >> 12) * 128 + (cols & 127)
-    want_bit = (cols & 4095) >> 7
-    np.testing.assert_array_equal(pos, want_pos.astype(np.int32))
-    np.testing.assert_array_equal(bit, want_bit.astype(np.int32))
-
-
 def test_comm_volume_native_matches_numpy():
     g = rand_csr(n=64, seed=4)
     part = sparse.uniform_partition(64, 4)

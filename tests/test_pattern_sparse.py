@@ -116,7 +116,7 @@ def test_plane_mask_banded_graph():
     fwd, bwd = sps.block_pattern_pair_from_binary_csr(g, dtype="float32")
     # plane occupancy must be well below tile occupancy for a band
     pm = np.asarray(fwd.fwd_pmask)
-    live = pm[np.asarray(fwd.fwd_tile) < fwd.num_tiles]
+    live = pm[np.asarray(fwd.fwd_tile) < fwd.num_tiles - 1]  # drop padding tile
     plane_frac = np.unpackbits(live.view(np.uint8)).sum() / (live.size * 32)
     assert plane_frac < 0.25, f"plane occupancy {plane_frac}"
     b = np.random.default_rng(6).random((n, 10)).astype(np.float32)

@@ -14,17 +14,21 @@ differs:
   accumulates into one (d, 4096) output block per group;
 * backward (C = P B): the same tiles sorted by row-block.
 
-Schedules are scalar-prefetched (``pltpu.PrefetchScalarGridSpec``): per grid
-step t, prefetched arrays give the tile id (pack block index), the outer
-block id (output index), the inner block id (dense-operand index), a
-first-visit flag for accumulator initialization, and a 32-bit **plane mask**
-of which (TILE_R × 128)-column bit-planes of the tile contain any edge — the
-kernel predicates each plane's MXU matmul on its mask bit, so *compute*
-skips at 512×128 granularity while *storage* stays at tile granularity.
-Uniform random graphs have ~100% occupancy and match the dense-pattern
-kernel; a k-community graph has ~1/k occupancy and runs ~k× faster, with the
-plane masks recovering most of the finer-than-tile sparsity that background
-inter-community edges would otherwise spoil.
+Schedules are scalar-prefetched (``pltpu.PrefetchScalarGridSpec``) and
+**plane-compacted**: a tile with ``lp`` nonempty (TILE_R × 128)-column
+bit-planes expands into ``ceil(lp / K_PLANES)`` grid steps, each carrying
+exactly K_PLANES plane ids (padding slots point at an *empty* plane of the
+same tile, whose contribution is exactly zero). The kernel body is fully
+unconditional — K_PLANES dynamic-plane unpack+matmul per step (Mosaic v5e
+supports vector shift by a traced scalar, dynamic lane-offset stores and
+dynamic sublane reads — all probed) — so *compute* scales with the number of
+live planes at 512×128 granularity while *storage* stays at tile
+granularity, and no per-plane branch cost is paid (a previous predicated
+variant spent ~250 cycles of `pl.when` overhead per live plane). Per grid
+step t the prefetched arrays give the tile id, outer block id (output),
+inner block id (dense operand), a first-visit flag, and the K_PLANES plane
+ids. Uniform random graphs have ~100% occupancy and match the dense-pattern
+kernel; banded/clustered graphs skip in proportion to live planes.
 """
 
 from __future__ import annotations
@@ -49,6 +53,7 @@ from .spmm_pattern import (
 )
 
 TILE_R = 512  # tile rows (= J_FWD = O_BWD of the dense-pattern kernel)
+K_PLANES = 8  # plane slots per grid step (compacted schedule)
 
 
 @functools.partial(
@@ -59,16 +64,23 @@ TILE_R = 512  # tile rows (= J_FWD = O_BWD of the dense-pattern kernel)
         "fwd_outer",
         "fwd_inner",
         "fwd_first",
-        "fwd_pmask",
+        "fwd_planes",
         "bwd_tile",
         "bwd_outer",
         "bwd_inner",
         "bwd_first",
-        "bwd_pmask",
+        "bwd_planes",
         "scale",
     ],
     meta_fields=[
-        "n", "n_pad", "nnz", "orientation", "scale_side", "dtype_name", "tile_r",
+        "n",
+        "n_pad",
+        "nnz",
+        "orientation",
+        "scale_side",
+        "dtype_name",
+        "tile_r",
+        "plane_occ",
     ],
 )
 @dataclass(frozen=True)
@@ -86,12 +98,12 @@ class BlockPatternMat:
     fwd_outer: jax.Array  # i32[Sf]  (column-group id -> output block)
     fwd_inner: jax.Array  # i32[Sf]  (row-chunk id -> dense-operand block)
     fwd_first: jax.Array  # i32[Sf]
-    fwd_pmask: jax.Array  # i32[Sf]  (bit b set <=> plane b of the tile nonempty)
+    fwd_planes: jax.Array  # i32[Sf * K_PLANES] plane ids (empties pad)
     bwd_tile: jax.Array
     bwd_outer: jax.Array  # (row-block id -> output block)
     bwd_inner: jax.Array  # (column-group id -> dense-operand block)
     bwd_first: jax.Array
-    bwd_pmask: jax.Array
+    bwd_planes: jax.Array
     scale: jax.Array
     n: int
     n_pad: int
@@ -100,6 +112,7 @@ class BlockPatternMat:
     scale_side: str
     dtype_name: str = "bfloat16"
     tile_r: int = TILE_R
+    plane_occ: float = 1.0  # fraction of (tile_r x 128) plane regions live
 
     @property
     def compute_dtype(self):
@@ -258,23 +271,49 @@ def block_pattern_pair_from_binary_csr(
         if sel.size:
             tile_pmask[sel] |= np.uint32(1 << b)
 
+    # plane-compacted slot table: plane_slots[t] lists the tile's live plane
+    # ids first (ascending), then repeats one of its *empty* planes as
+    # padding (the all-zero plane contributes exactly 0 to the matmul)
+    bits = ((tile_pmask[:, None] >> np.arange(32)) & 1).astype(bool)  # (T+1, 32)
+    lp = bits.sum(axis=1).astype(np.int64)
+    plane_order = np.argsort(~bits, axis=1, kind="stable")  # live first
+    fill = plane_order[np.arange(T + 1), np.minimum(lp, 31)]  # first empty
+    fill = np.where(lp < 32, fill, 0)  # fully-live tiles never pad
+    plane_slots = np.where(
+        np.arange(32)[None, :] < lp[:, None], plane_order, fill[:, None]
+    ).astype(np.int32)
+    steps_of = np.maximum(-(-lp // K_PLANES), 1).astype(np.int64)
+    plane_occ = float(lp[:T].sum()) / max(T * 32, 1)
+
     def schedule(outer_ids, inner_ids, n_outer):
         missing = np.setdiff1d(np.arange(n_outer), np.unique(outer_ids))
         tile_ids = np.concatenate([np.arange(T), np.full(missing.size, T)])
         outer_all = np.concatenate([outer_ids, missing])
         inner_all = np.concatenate([inner_ids, np.zeros(missing.size, np.int64)])
         order = np.lexsort((inner_all, outer_all))
-        tile = tile_ids[order].astype(np.int32)
-        outer = outer_all[order].astype(np.int32)
-        inner = inner_all[order].astype(np.int32)
-        first = np.concatenate([[1], (outer[1:] != outer[:-1]).astype(np.int32)])
-        pmask = tile_pmask[tile].view(np.int32)
-        return tile, outer, inner, first, pmask
+        tile = tile_ids[order]
+        outer = outer_all[order]
+        inner = inner_all[order]
+        # expand each tile entry into ceil(lp/K_PLANES) grid steps
+        reps = steps_of[tile]
+        s_tile = np.repeat(tile, reps).astype(np.int32)
+        s_outer = np.repeat(outer, reps).astype(np.int32)
+        s_inner = np.repeat(inner, reps).astype(np.int32)
+        total = int(reps.sum())
+        starts = np.repeat(np.cumsum(reps) - reps, reps)
+        sub = np.arange(total) - starts  # step index within its tile
+        planes = plane_slots[
+            s_tile[:, None], sub[:, None] * K_PLANES + np.arange(K_PLANES)[None, :]
+        ].reshape(-1)
+        first = np.concatenate(
+            [[1], (s_outer[1:] != s_outer[:-1]).astype(np.int32)]
+        )
+        return s_tile, s_outer, s_inner, first.astype(np.int32), planes
 
     # forward: outer = column-group (output), inner = row-block (operand)
-    f_tile, f_outer, f_inner, f_first, f_pmask = schedule(occ_g, occ_rb, n_g)
+    f_tile, f_outer, f_inner, f_first, f_planes = schedule(occ_g, occ_rb, n_g)
     # backward: outer = row-block (output), inner = column-group (operand)
-    b_tile, b_outer, b_inner, b_first, b_pmask = schedule(occ_rb, occ_g, n_rb)
+    b_tile, b_outer, b_inner, b_first, b_planes = schedule(occ_rb, occ_g, n_rb)
 
     indeg = np.bincount(csr.indices, minlength=n_pad).astype(np.float64)
     with np.errstate(divide="ignore"):
@@ -286,18 +325,19 @@ def block_pattern_pair_from_binary_csr(
         fwd_outer=jnp.asarray(f_outer),
         fwd_inner=jnp.asarray(f_inner),
         fwd_first=jnp.asarray(f_first),
-        fwd_pmask=jnp.asarray(f_pmask),
+        fwd_planes=jnp.asarray(f_planes),
         bwd_tile=jnp.asarray(b_tile),
         bwd_outer=jnp.asarray(b_outer),
         bwd_inner=jnp.asarray(b_inner),
         bwd_first=jnp.asarray(b_first),
-        bwd_pmask=jnp.asarray(b_pmask),
+        bwd_planes=jnp.asarray(b_planes),
         scale=jnp.asarray(s),
         n=n,
         n_pad=n_pad,
         nnz=csr.nnz,
         dtype_name=dtype,
         tile_r=tile_r,
+        plane_occ=plane_occ,
     )
     fwd = BlockPatternMat(orientation="PT", scale_side="post", **common)
     bwd = BlockPatternMat(orientation="P", scale_side="pre", **common)
@@ -305,8 +345,8 @@ def block_pattern_pair_from_binary_csr(
 
 
 def _fwd_kernel_sparse(
-    tile_ref, outer_ref, inner_ref, first_ref, pmask_ref, b_ref, pack_ref, out_ref,
-    plane_ref, *, cdtype,
+    tile_ref, outer_ref, inner_ref, first_ref, planes_ref, b_ref, pack_ref, out_ref,
+    plane_ref, plane2_ref, *, cdtype,
 ):
     t = pl.program_id(0)
 
@@ -314,23 +354,25 @@ def _fwd_kernel_sparse(
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    pmask = pmask_ref[t]
-    for b in range(32):
-        @pl.when(((pmask >> b) & 1) == 1)
-        def _(b=b):
-            # unpack into the shared scratch so the 32 predicated branches
-            # reuse one VMEM buffer instead of each allocating stack space
-            plane_ref[:] = _unpack_plane(pack_ref[0], b, cdtype)
-            bf = b_ref[:] if b_ref.dtype == cdtype else b_ref[:].astype(cdtype)
-            sl = slice(b * 128, (b + 1) * 128)
-            out_ref[:, sl] += jnp.dot(
-                bf, plane_ref[:], preferred_element_type=_acc_dtype(cdtype)
-            )
+    bf = b_ref[:] if b_ref.dtype == cdtype else b_ref[:].astype(cdtype)
+    # two-stage software pipeline: unpack slot k+1 on the VPU while the MXU
+    # multiplies slot k (dynamic plane ids: traced-scalar shift + dynamic
+    # lane-offset store; padding slots repeat an empty plane, += 0)
+    bs = [planes_ref[t * K_PLANES + k] for k in range(K_PLANES)]
+    bufs = (plane_ref, plane2_ref)
+    bufs[0][:] = _unpack_plane(pack_ref[0], bs[0], cdtype)
+    for k in range(K_PLANES):
+        if k + 1 < K_PLANES:
+            bufs[(k + 1) % 2][:] = _unpack_plane(pack_ref[0], bs[k + 1], cdtype)
+        v = jnp.dot(
+            bf, bufs[k % 2][:], preferred_element_type=_acc_dtype(cdtype)
+        )
+        out_ref[:, pl.ds(bs[k] * 128, 128)] += v
 
 
 def _bwd_kernel_sparse(
-    tile_ref, outer_ref, inner_ref, first_ref, pmask_ref, b_ref, pack_ref, out_ref,
-    plane_ref, *, cdtype,
+    tile_ref, outer_ref, inner_ref, first_ref, planes_ref, b_ref, pack_ref, out_ref,
+    plane_ref, plane2_ref, *, cdtype,
 ):
     t = pl.program_id(0)
 
@@ -338,17 +380,19 @@ def _bwd_kernel_sparse(
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    pmask = pmask_ref[t]
-    for b in range(32):
-        @pl.when(((pmask >> b) & 1) == 1)
-        def _(b=b):
-            plane_ref[:] = _unpack_plane(pack_ref[0], b, cdtype)
-            blk = b_ref[b * 128 : (b + 1) * 128, :]
-            if blk.dtype != cdtype:
-                blk = blk.astype(cdtype)
-            out_ref[:] += jnp.dot(
-                plane_ref[:], blk, preferred_element_type=_acc_dtype(cdtype)
-            )
+    # two-stage software pipeline (see forward kernel); dynamic sublane read
+    bs = [planes_ref[t * K_PLANES + k] for k in range(K_PLANES)]
+    bufs = (plane_ref, plane2_ref)
+    bufs[0][:] = _unpack_plane(pack_ref[0], bs[0], cdtype)
+    for k in range(K_PLANES):
+        if k + 1 < K_PLANES:
+            bufs[(k + 1) % 2][:] = _unpack_plane(pack_ref[0], bs[k + 1], cdtype)
+        blk = b_ref[pl.ds(bs[k] * 128, 128), :]
+        if blk.dtype != cdtype:
+            blk = blk.astype(cdtype)
+        out_ref[:] += jnp.dot(
+            bufs[k % 2][:], blk, preferred_element_type=_acc_dtype(cdtype)
+        )
 
 
 def _call_fwd(mat: BlockPatternMat, bf: jax.Array) -> jax.Array:
@@ -365,21 +409,24 @@ def _call_fwd(mat: BlockPatternMat, bf: jax.Array) -> jax.Array:
         in_specs=[
             pl.BlockSpec(
                 (d_pad, mat.tile_r),
-                lambda t, tile, outer, inner, first, pmask: (0, inner[t]),
+                lambda t, tile, outer, inner, first, planes: (0, inner[t]),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, mat.tile_r, 128),
-                lambda t, tile, outer, inner, first, pmask: (tile[t], 0, 0),
+                lambda t, tile, outer, inner, first, planes: (tile[t], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (d_pad, GROUP),
-            lambda t, tile, outer, inner, first, pmask: (0, outer[t]),
+            lambda t, tile, outer, inner, first, planes: (0, outer[t]),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.VMEM((mat.tile_r, 128), mat.compute_dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((mat.tile_r, 128), mat.compute_dtype),
+            pltpu.VMEM((mat.tile_r, 128), mat.compute_dtype),
+        ],
     )
     return pl.pallas_call(
         functools.partial(_fwd_kernel_sparse, cdtype=mat.compute_dtype),
@@ -391,7 +438,7 @@ def _call_fwd(mat: BlockPatternMat, bf: jax.Array) -> jax.Array:
             transcendentals=0,
         ),
     )(
-        mat.fwd_tile, mat.fwd_outer, mat.fwd_inner, mat.fwd_first, mat.fwd_pmask,
+        mat.fwd_tile, mat.fwd_outer, mat.fwd_inner, mat.fwd_first, mat.fwd_planes,
         bf, mat.tiles,
     )
 
@@ -410,21 +457,24 @@ def _call_bwd(mat: BlockPatternMat, bm: jax.Array) -> jax.Array:
         in_specs=[
             pl.BlockSpec(
                 (GROUP, d_pad),
-                lambda t, tile, outer, inner, first, pmask: (inner[t], 0),
+                lambda t, tile, outer, inner, first, planes: (inner[t], 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, mat.tile_r, 128),
-                lambda t, tile, outer, inner, first, pmask: (tile[t], 0, 0),
+                lambda t, tile, outer, inner, first, planes: (tile[t], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (mat.tile_r, d_pad),
-            lambda t, tile, outer, inner, first, pmask: (outer[t], 0),
+            lambda t, tile, outer, inner, first, planes: (outer[t], 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.VMEM((mat.tile_r, 128), mat.compute_dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((mat.tile_r, 128), mat.compute_dtype),
+            pltpu.VMEM((mat.tile_r, 128), mat.compute_dtype),
+        ],
     )
     return pl.pallas_call(
         functools.partial(_bwd_kernel_sparse, cdtype=mat.compute_dtype),
@@ -436,7 +486,7 @@ def _call_bwd(mat: BlockPatternMat, bm: jax.Array) -> jax.Array:
             transcendentals=0,
         ),
     )(
-        mat.bwd_tile, mat.bwd_outer, mat.bwd_inner, mat.bwd_first, mat.bwd_pmask,
+        mat.bwd_tile, mat.bwd_outer, mat.bwd_inner, mat.bwd_first, mat.bwd_planes,
         bm, mat.tiles,
     )
 

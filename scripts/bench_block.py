@@ -84,16 +84,12 @@ def main():
             fwd_b, bwd_b = sps.block_pattern_pair_from_binary_csr(
                 g, dtype="bfloat16", tile_r=tile_r
             )
-            pm = np.asarray(fwd_b.fwd_pmask)
-            live = pm[np.asarray(fwd_b.fwd_tile) < fwd_b.num_tiles - 1]  # drop padding tile
-            plane_frac = np.unpackbits(live.view(np.uint8)).sum() / max(
-                live.size * 32, 1
-            )
             tb_f = timeit(sps.spmm_block_pattern, fwd_b, b)
             tb_b = timeit(sps.spmm_block_pattern, bwd_b, b)
             print(
                 f"[{name}] tile_r={tile_r} tile_occ={fwd_b.occupancy:.4f} "
-                f"plane_frac={plane_frac:.4f} build={time.time()-dt0:.1f}s | "
+                f"plane_occ={fwd_b.plane_occ:.4f} steps={fwd_b.fwd_tile.shape[0]} "
+                f"build={time.time()-dt0:.1f}s | "
                 f"fwd={tb_f*1e3:.2f}ms ({td_f/tb_f:.1f}x) "
                 f"bwd={tb_b*1e3:.2f}ms ({td_b/tb_b:.1f}x)",
                 file=sys.stderr,

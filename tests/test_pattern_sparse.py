@@ -115,10 +115,8 @@ def test_plane_mask_banded_graph():
     g = CSRData.from_scipy(m)
     fwd, bwd = sps.block_pattern_pair_from_binary_csr(g, dtype="float32")
     # plane occupancy must be well below tile occupancy for a band
-    pm = np.asarray(fwd.fwd_pmask)
-    live = pm[np.asarray(fwd.fwd_tile) < fwd.num_tiles - 1]  # drop padding tile
-    plane_frac = np.unpackbits(live.view(np.uint8)).sum() / (live.size * 32)
-    assert plane_frac < 0.25, f"plane occupancy {plane_frac}"
+    assert fwd.plane_occ < 0.25, f"plane occupancy {fwd.plane_occ}"
+    assert fwd.fwd_planes.shape[0] == fwd.fwd_tile.shape[0] * sps.K_PLANES
     b = np.random.default_rng(6).random((n, 10)).astype(np.float32)
     a_hat = sparse.normalize(g, axis=True).to_dense()
     got_f = np.asarray(sps.spmm_block_pattern(fwd, jnp.asarray(b)))

@@ -277,17 +277,18 @@ def _train_dist(opts, ds, config, hparams, params, opt_state, timers):
         from .ops import spmm_pattern
         from .train import PATTERN_MEM_BUDGET
 
+        # the dist layout stores two packs (fwd + bwd ring orders) per device
         use_pattern = opts.impl in ("auto", "pattern") and (
             jax.default_backend() in ("tpu", "axon")
             and spmm_pattern.is_binary(ds.graph)
-            and ds.num_nodes ** 2 / 8 / P <= PATTERN_MEM_BUDGET
+            and 2 * ds.num_nodes ** 2 / 8 / P <= PATTERN_MEM_BUDGET
         )
         if opts.impl == "pattern" and not use_pattern:
             print("pattern impl not applicable here", file=sys.stderr)
             return params, opt_state, 2
         np_mask = ds.sets.reshape(-1) == 0 if config.loss_mask == "train" else None
         if use_pattern:
-            dpair = dist.DistPatternPair.from_binary_csr(ds.graph, P)
+            dpair = dist.DistPatternPair.from_binary_csr(ds.graph, P, mesh=mesh)
             n_pad = dpair.n_pad
             x_np = np.zeros((n_pad, ds.num_features), np.float32)
             x_np[:n] = ds.features
@@ -321,9 +322,11 @@ def _train_dist(opts, ds, config, hparams, params, opt_state, timers):
 
                 dpair = dist_halo.DistHaloPair.from_csr_pair(a_t, a, P)
                 pair_kind = "halo"
+                moved = P * sum(dpair.fwd.round_widths)
                 print(
-                    f"halo exchange: {dpair.fwd.halo_total} rows/SpMM fwd "
-                    f"(dense bcast would move {(P - 1) * n})",
+                    f"halo exchange: {moved} rows/SpMM fwd moved "
+                    f"({dpair.fwd.halo_total} useful; dense bcast would "
+                    f"move {(P - 1) * n})",
                     file=sys.stderr,
                 )
             else:
@@ -342,6 +345,12 @@ def _train_dist(opts, ds, config, hparams, params, opt_state, timers):
             file=sys.stderr,
         )
         return params, opt_state, 2
+    from .parallel import multihost
+
+    # weights/optimizer state must be *global* replicated arrays for the
+    # multi-host mesh (process-local arrays fail at the first step() call)
+    params = multihost.replicate_put(params, mesh)
+    opt_state = multihost.replicate_put(opt_state, mesh)
     step = dist.make_dist_train_step(
         config,
         mesh,

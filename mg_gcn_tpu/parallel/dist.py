@@ -180,8 +180,15 @@ class DistPatternPair:
 
     @staticmethod
     def from_binary_csr(
-        csr: CSRData, parts: int, dtype: str = "bfloat16"
+        csr: CSRData, parts: int, dtype: str = "bfloat16", mesh: Mesh | None = None
     ) -> "DistPatternPair":
+        """Build the pair. With ``mesh`` (single-process), device j's blocks
+        are built ON device j and assembled into globally-sharded arrays via
+        make_array_from_single_device_arrays — the full 2·n_pad²/8 bytes are
+        never materialized on one chip (they would not fit at exactly the
+        scales the /P per-device budget admits)."""
+        import contextlib
+
         from ..ops import spmm_pattern as sp
 
         if not sp.is_binary(csr):
@@ -192,21 +199,48 @@ class DistPatternPair:
         part = np.arange(parts + 1, dtype=np.int64) * m_loc
         part = np.minimum(part, n)
         blocks = host_sparse.partition_blocks(csr, part, part)
+        devices = None
+        if mesh is not None:
+            devs = list(mesh.devices.flat)
+            if len(devs) == parts and all(
+                d.process_index == jax.process_index() for d in devs
+            ):
+                devices = devs
         fwd_list, bwd_list = [], []
         for j in range(parts):
-            fj, bj = [], []
-            for s in range(parts):
-                k = (j + s) % parts
-                fj.append(sp.pack_bits_on_device(blocks[k][j], m_loc, row_chunks=1))
-                bj.append(sp.pack_bits_on_device(blocks[j][k], m_loc, row_chunks=1))
-            fwd_list.append(jnp.stack(fj))
-            bwd_list.append(jnp.stack(bj))
+            ctx = (
+                jax.default_device(devices[j]) if devices else contextlib.nullcontext()
+            )
+            with ctx:
+                fj, bj = [], []
+                for s in range(parts):
+                    k = (j + s) % parts
+                    fj.append(
+                        sp.pack_bits_on_device(blocks[k][j], m_loc, row_chunks=1)
+                    )
+                    bj.append(
+                        sp.pack_bits_on_device(blocks[j][k], m_loc, row_chunks=1)
+                    )
+                fwd_list.append(jnp.stack(fj)[None] if devices else jnp.stack(fj))
+                bwd_list.append(jnp.stack(bj)[None] if devices else jnp.stack(bj))
+        if devices:
+            sharding = NamedSharding(mesh, P(GRAPH_AXIS))
+            shape = (parts, parts, m_loc, m_loc // 32)
+            pack_fwd = jax.make_array_from_single_device_arrays(
+                shape, sharding, fwd_list
+            )
+            pack_bwd = jax.make_array_from_single_device_arrays(
+                shape, sharding, bwd_list
+            )
+        else:
+            pack_fwd = jnp.stack(fwd_list)
+            pack_bwd = jnp.stack(bwd_list)
         indeg = np.bincount(csr.indices, minlength=n_pad).astype(np.float64)
         with np.errstate(divide="ignore"):
             s_vec = np.where(indeg > 0, 1.0 / indeg, 0.0).astype(np.float32)
         return DistPatternPair(
-            pack_fwd=jnp.stack(fwd_list),
-            pack_bwd=jnp.stack(bwd_list),
+            pack_fwd=pack_fwd,
+            pack_bwd=pack_bwd,
             scale=jnp.asarray(s_vec.reshape(parts, m_loc)),
             n=n,
             n_pad=n_pad,
@@ -306,6 +340,16 @@ def dist_aggregate_pattern(
 
     m_loc, d = h.shape
     d_pad = sp.round_up(max(d, 8), 8)
+    if strategy == "fused" and d_pad > sp.D_MAX:
+        # the fused RDMA-ring kernel carries the full (d_pad, m_loc) operand
+        # in VMEM and has no feature chunking; beyond D_MAX fall back to the
+        # per-round kernels, which chunk at D_MAX (traced once per shape)
+        import warnings
+
+        warnings.warn(
+            f"fused exchange supports d <= {sp.D_MAX}; falling back to ring"
+        )
+        strategy = "ring"
     perm = _ring_perm(parts)
     int8_mode = dtype_name == "int8"
     qscale = None
@@ -511,6 +555,68 @@ def dist_loss_and_grad(
     return loss, acc, grads
 
 
+def _exact_agg(agg_fwd, agg_bwd):
+    """Differentiable per-device aggregation: forward uses the Âᵀ schedule,
+    the VJP runs the Â schedule — globally d(Âᵀx)·ḡ = Â ḡ, the same algebra
+    as the single-chip custom-VJP aggregate (ops/spmm.py)."""
+
+    @jax.custom_vjp
+    def agg(h):
+        return agg_fwd(h)
+
+    def fwd(h):
+        return agg_fwd(h), None
+
+    def bwd(_, g):
+        return (agg_bwd(g),)
+
+    agg.defvjp(fwd, bwd)
+    return agg
+
+
+def dist_loss_and_grad_exact(
+    params, agg_fwd, agg_bwd, x, y, config: GCNConfig, n_total, mask
+):
+    """Exact-autodiff twin of :func:`dist_loss_and_grad` (config.parity
+    False / CLI --exact): jax.grad through the forward, with the
+    aggregation's VJP supplied by :func:`_exact_agg`.
+
+    The differentiated function returns the *local* loss share (no psum
+    inside — psum's transpose is psum, which would scale every cotangent by
+    P); loss/acc/grads are psum'd afterwards, the reference's allreduce."""
+    from ..ops.softmax_xent import softmax as _softmax
+
+    agg = _exact_agg(agg_fwd, agg_bwd)
+    yv = y.reshape(-1)
+    if mask is None:
+        m = None
+        denom = jnp.asarray(n_total, jnp.float32)
+    else:
+        m = mask.astype(jnp.float32)
+        denom = jnp.maximum(jax.lax.psum(jnp.sum(m), GRAPH_AXIS), 1.0)
+
+    def loss_fn(p):
+        h = x
+        for i, layer in enumerate(p):
+            h, _ = _dist_layer_forward(
+                layer, config.layer_meta(i), agg, h, config.leaky_slope
+            )
+        o = _softmax(h)  # rows are device-local in the row partition
+        n_loc = h.shape[0]
+        logp = jnp.log(jnp.maximum(o[jnp.arange(n_loc), yv], jnp.finfo(o.dtype).tiny))
+        pred = jnp.argmax(jax.lax.stop_gradient(o), axis=-1).astype(jnp.int32)
+        correct = (pred == yv).astype(jnp.float32)
+        if m is None:
+            return -jnp.sum(logp) / denom, jnp.sum(correct) / denom
+        return -jnp.sum(logp * m) / denom, jnp.sum(correct * m) / denom
+
+    (loss_loc, acc_loc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    loss = jax.lax.psum(loss_loc, GRAPH_AXIS)
+    acc = jax.lax.psum(acc_loc, GRAPH_AXIS)
+    grads = jax.tree.map(lambda g: jax.lax.psum(g, GRAPH_AXIS), grads)
+    return loss, acc, grads
+
+
 def make_dist_train_step(
     config: GCNConfig,
     mesh: Mesh,
@@ -529,7 +635,10 @@ def make_dist_train_step(
     a :class:`DistPatternPair` (pair_kind="pattern", the MXU fast path);
     x/y are global arrays sharded over the graph axis — for the pattern pair
     they must be padded to ``pair.n_pad`` rows (use a mask to keep loss
-    semantics over the real rows).
+    semantics over the real rows). ``config.parity`` selects the backward:
+    True = the reference-parity hand-written backward (layer-0 SpMM skip),
+    False = exact autodiff gradients (CLI --exact), matching the
+    single-device semantics of models/gcn.py.
     """
     try:
         from jax import shard_map  # jax >= 0.7 stable API
@@ -551,6 +660,11 @@ def make_dist_train_step(
     elif pair_kind == "halo":
         from . import dist_halo
 
+        if strategy != "ring":
+            raise ValueError(
+                "the halo pair has a single (ring) exchange schedule; "
+                f"strategy {strategy!r} is not available with pair_kind='halo'"
+            )
         mat_spec = {k: shard_rows for k in dist_halo.MAT_FIELDS}
         pair_spec = dict(fwd=mat_spec, bwd=mat_spec)
     else:
@@ -583,8 +697,9 @@ def make_dist_train_step(
         elif pair_kind == "halo":
             from . import dist_halo
 
-            f = {k: pair["fwd"][k][0] for k in dist_halo.MAT_FIELDS}
-            b = {k: pair["bwd"][k][0] for k in dist_halo.MAT_FIELDS}
+            strip = dist_halo.strip_shard_axis
+            f = {k: strip(pair["fwd"][k]) for k in dist_halo.MAT_FIELDS}
+            b = {k: strip(pair["bwd"][k]) for k in dist_halo.MAT_FIELDS}
             agg_fwd = lambda h: dist_halo.dist_aggregate_halo(f, h, parts)
             agg_bwd = lambda g: dist_halo.dist_aggregate_halo(b, g, parts)
         else:
@@ -597,7 +712,8 @@ def make_dist_train_step(
             agg_bwd = lambda g: dist_aggregate_pattern(
                 pack_bwd, scale, g, parts, "P", pattern_dtype, strategy, interpret
             )
-        loss, acc, grads = dist_loss_and_grad(
+        lag = dist_loss_and_grad if config.parity else dist_loss_and_grad_exact
+        loss, acc, grads = lag(
             params, agg_fwd, agg_bwd, x, y, config, n_total, mask
         )
         params, opt_state = adam.adam_update(params, grads, opt_state, **hp)
@@ -676,10 +792,17 @@ def make_dist_sage_train_step(
     elif pair_kind == "halo":
         from . import dist_halo
 
+        if strategy != "ring":
+            raise ValueError(
+                "the halo pair has a single (ring) exchange schedule; "
+                f"strategy {strategy!r} is not available with pair_kind='halo'"
+            )
         mat_spec = {k: shard_rows for k in dist_halo.MAT_FIELDS}
     else:
         raise ValueError(f"unknown pair_kind {pair_kind!r}")
-    pair_spec = dict(fwd=mat_spec, bwd=mat_spec)
+    # autodiff provides the transpose (reverse permute), so only the forward
+    # matrix is shipped — the pair's bwd member is accepted but unused
+    pair_spec = dict(fwd=mat_spec)
     params_spec = [
         {k: repl for k in ("Wself", "Wneigh", "b")} for _ in range(config.num_layers)
     ]
@@ -701,7 +824,7 @@ def make_dist_sage_train_step(
         else:
             from . import dist_halo
 
-            f = {k: pair["fwd"][k][0] for k in dist_halo.MAT_FIELDS}
+            f = {k: dist_halo.strip_shard_axis(pair["fwd"][k]) for k in dist_halo.MAT_FIELDS}
             agg = lambda h: dist_halo.dist_aggregate_halo(f, h, parts)
         yv = y.reshape(-1)
         if mask is None:
@@ -750,14 +873,12 @@ def make_dist_sage_train_step(
         if pair_kind == "coo":
             pair_dicts = dict(
                 fwd=dict(rows=pair.fwd.rows, cols=pair.fwd.cols, vals=pair.fwd.vals),
-                bwd=dict(rows=pair.bwd.rows, cols=pair.bwd.cols, vals=pair.bwd.vals),
             )
         else:
             from . import dist_halo
 
             pair_dicts = dict(
                 fwd={k: getattr(pair.fwd, k) for k in dist_halo.MAT_FIELDS},
-                bwd={k: getattr(pair.bwd, k) for k in dist_halo.MAT_FIELDS},
             )
         args = (params, opt_state, pair_dicts, x, y)
         if use_mask:

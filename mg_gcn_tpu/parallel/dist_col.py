@@ -136,6 +136,16 @@ def make_col_train_step(
     rounds the last width up to a multiple of P for the same reason,
     main.cpp:135).
     """
+    if config.residual:
+        raise NotImplementedError(
+            "the column/tensor-parallel path does not implement residual "
+            "connections; use the row-partitioned path (-R 1)"
+        )
+    if config.loss_mask != "all":
+        raise NotImplementedError(
+            "the column/tensor-parallel path computes loss over all rows "
+            "(reference semantics); --mask-train needs the row path (-R 1)"
+        )
     try:
         from jax import shard_map
     except ImportError:  # pragma: no cover

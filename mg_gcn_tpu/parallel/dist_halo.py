@@ -61,7 +61,14 @@ def _round_up(x: int, to: int) -> int:
         "rem_vals",
         "send_idx",
     ],
-    meta_fields=["n", "parts", "nnz", "halo_width", "halo_total"],
+    meta_fields=[
+        "n",
+        "parts",
+        "nnz",
+        "halo_width",
+        "halo_total",
+        "round_widths",
+    ],
 )
 @dataclass(frozen=True)
 class DistHaloMat:
@@ -73,9 +80,11 @@ class DistHaloMat:
                            block A[j, (j+s+1) % P]
       rem_cols           : (P, S, E_rem)  column ids rebased into the round's
                            received halo buffer [0, halo_width)
-      send_idx           : (P, S, H)      local feature rows device j sends in
-                           round s (its halo as referenced by the destination
-                           (j-s-1) % P)
+      send_idx           : tuple of S arrays (P, w_s) — local feature rows
+                           device j sends in round s (its halo as referenced
+                           by the destination (j-s-1) % P). Widths are
+                           per-round maxima, so one hub block only widens its
+                           own round's exchange, not every round's.
     Padding: vals 0, rows = m_loc-1, cols/send_idx 0.
     """
 
@@ -85,12 +94,13 @@ class DistHaloMat:
     rem_rows: jax.Array
     rem_cols: jax.Array
     rem_vals: jax.Array
-    send_idx: jax.Array
+    send_idx: tuple  # S arrays (P, w_s)
     n: int
     parts: int
     nnz: int
-    halo_width: int  # H: max distinct columns referenced across any block
-    halo_total: int  # sum over blocks — the realized comm volume (rows)
+    halo_width: int  # max w_s — widest round's padded exchange
+    halo_total: int  # sum of unpadded block halos — the useful volume (rows)
+    round_widths: tuple  # (w_0, ..., w_{S-1}) padded per-round widths
 
     @property
     def rows_per_shard(self) -> int:
@@ -131,7 +141,12 @@ class DistHaloMat:
 
         e_loc = _round_up(e_loc_max, pad_to)
         e_rem = _round_up(e_rem_max, pad_to)
-        h_pad = _round_up(h_max, min(pad_to, 128))
+        pad_unit = min(pad_to, 128)
+        # per-round widths: one hub block widens only its own round
+        widths = tuple(
+            _round_up(max(halos[j][s].size for j in range(parts)), pad_unit)
+            for s in range(S)
+        )
 
         loc_rows = np.full((parts, e_loc), m_loc - 1, np.int32)
         loc_cols = np.zeros((parts, e_loc), np.int32)
@@ -139,7 +154,7 @@ class DistHaloMat:
         rem_rows = np.full((parts, S, e_rem), m_loc - 1, np.int32)
         rem_cols = np.zeros((parts, S, e_rem), np.int32)
         rem_vals = np.zeros((parts, S, e_rem), np.float32)
-        send_idx = np.zeros((parts, S, h_pad), np.int32)
+        send_idx = [np.zeros((parts, widths[s]), np.int32) for s in range(S)]
         for j in range(parts):
             d = blocks[j][j]
             e = d.nnz
@@ -155,7 +170,7 @@ class DistHaloMat:
                 rem_cols[j, s, :e] = cols
                 rem_vals[j, s, :e] = vals
                 hc = halos[j][s]
-                send_idx[j, s, : hc.size] = hc
+                send_idx[s][j, : hc.size] = hc
         return DistHaloMat(
             loc_rows=jnp.asarray(loc_rows),
             loc_cols=jnp.asarray(loc_cols),
@@ -163,17 +178,21 @@ class DistHaloMat:
             rem_rows=jnp.asarray(rem_rows),
             rem_cols=jnp.asarray(rem_cols),
             rem_vals=jnp.asarray(rem_vals),
-            send_idx=jnp.asarray(send_idx),
+            send_idx=tuple(jnp.asarray(a) for a in send_idx),
             n=n,
             parts=parts,
             nnz=csr.nnz,
-            halo_width=h_pad,
+            halo_width=max(widths, default=0),
             halo_total=h_total,
+            round_widths=widths,
         )
 
-    def comm_bytes_per_spmm(self, d: int, itemsize: int = 4) -> int:
-        """Realized exchange volume for one SpMM with d feature columns."""
-        return self.halo_total * d * itemsize
+    def comm_bytes_per_spmm(self, d: int, itemsize: int = 4, padded: bool = True) -> int:
+        """Exchange volume for one SpMM with d feature columns. ``padded``
+        (default) counts what actually moves — every device ships the padded
+        round width each round; padded=False gives the useful lower bound."""
+        rows = self.parts * sum(self.round_widths) if padded else self.halo_total
+        return rows * d * itemsize
 
 
 @functools.partial(
@@ -193,6 +212,14 @@ class DistHaloPair:
 
     def shardings(self, mesh: Mesh):
         return jax.tree.map(lambda _: NamedSharding(mesh, P(GRAPH_AXIS)), self)
+
+
+def strip_shard_axis(v):
+    """Drop the leading (size-1 inside shard_map) shard axis of a mat field;
+    send_idx is a per-round tuple of arrays."""
+    if isinstance(v, tuple):
+        return tuple(a[0] for a in v)
+    return v[0]
 
 
 MAT_FIELDS = (

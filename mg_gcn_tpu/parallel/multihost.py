@@ -42,8 +42,29 @@ def initialize(coordinator_address: str | None = None, **kw) -> None:
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address, **kw)
     except RuntimeError as e:  # already initialized — idempotent by intent
-        if "already initialized" not in str(e):
+        msg = str(e)
+        # jax 0.9 phrases this "distributed.initialize should only be called
+        # once"; older versions said "already initialized". A "must be
+        # called before" error is real (devices already in use) and raises.
+        if "should only be called once" not in msg and "already initialized" not in msg:
             raise
+
+
+def replicate_put(tree, mesh: Mesh):
+    """Replicate a host pytree onto every device of the mesh (weights and
+    optimizer state). Multi-process safe: each process materializes its
+    addressable replicas via make_array_from_callback, producing *global*
+    arrays a multi-host jitted step accepts (process-local arrays are not
+    implicitly replicated over non-addressable devices)."""
+    sharding = NamedSharding(mesh, P())
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    return jax.tree.map(
+        lambda a: jax.make_array_from_callback(
+            np.shape(a), sharding, lambda idx: np.asarray(a)[idx]
+        ),
+        tree,
+    )
 
 
 def shard_put(arr, mesh: Mesh, spec: P | None = None) -> jax.Array:

@@ -133,3 +133,67 @@ def test_dist_rejects_indivisible():
     a, _ = make_graph(30)
     with pytest.raises(ValueError, match="divisible"):
         dist.DistRowMat.from_csr(a, 4)
+
+
+def test_dist_exact_matches_single_exact(mesh4):
+    """config.parity=False (CLI --exact) must give the single-chip exact
+    autodiff training trajectory on the distributed path too."""
+    n, f, c = 64, 12, 4
+    rng = np.random.default_rng(9)
+    a, a_t = make_graph(n)
+    x = rng.standard_normal((n, f)).astype(np.float32)
+    y = rng.integers(0, c, n).astype(np.int32)
+
+    config = GCNConfig(sizes=(f, 8, c), parity=False)
+    params = init_params(config)
+    opt = adam.adam_init(params)
+
+    # large Adam eps linearizes the update so f32 reduction-order noise in
+    # near-zero grads is not sign-amplified to +-lr (both sides use it)
+    hp = dict(adam.DEFAULT_HPARAMS, eps=1.0)
+    pair = AggPair(COOMat.from_csr(a_t, pad_to=8), COOMat.from_csr(a, pad_to=8))
+    loss1, acc1, grads1 = loss_and_grad(
+        params, pair, jnp.asarray(x), jnp.asarray(y), config
+    )
+    p1, _ = adam.adam_update(params, grads1, opt, **hp)
+
+    dpair = dist.DistAggPair.from_csr_pair(a_t, a, 4, pad_to=8)
+    step = dist.make_dist_train_step(config, mesh4, n, hparams=hp)
+    p2, _, loss2, acc2 = step(params, opt, dpair, jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    np.testing.assert_allclose(float(acc2), float(acc1), rtol=1e-6)
+    for l1, l2 in zip(p1, p2):
+        for k in l1:
+            np.testing.assert_allclose(
+                np.asarray(l2[k]), np.asarray(l1[k]), rtol=1e-4, atol=1e-5
+            )
+    # and it must differ from the parity (layer-0-skip) trajectory
+    config_p = GCNConfig(sizes=(f, 8, c), parity=True)
+    _, _, grads_p = loss_and_grad(
+        params, pair, jnp.asarray(x), jnp.asarray(y), config_p
+    )
+    assert not np.allclose(
+        np.asarray(grads_p[0]["W"]), np.asarray(grads1[0]["W"]), atol=1e-6
+    )
+
+
+def test_dist_halo_rejects_all_gather(mesh4):
+    config = GCNConfig(sizes=(4, 4, 2))
+    with pytest.raises(ValueError, match="halo"):
+        dist.make_dist_train_step(
+            config, mesh4, 64, pair_kind="halo", strategy="all_gather"
+        )
+
+
+def test_col_rejects_residual_and_mask():
+    from mg_gcn_tpu.parallel import dist_col
+
+    mesh = dist_col.make_col_mesh(4)
+    with pytest.raises(NotImplementedError, match="residual"):
+        dist_col.make_col_train_step(
+            GCNConfig(sizes=(8, 8, 4), residual=True, parity=False), mesh, 64
+        )
+    with pytest.raises(NotImplementedError, match="mask"):
+        dist_col.make_col_train_step(
+            GCNConfig(sizes=(8, 8, 4), loss_mask="train", parity=False), mesh, 64
+        )

@@ -225,7 +225,7 @@ def _train_single(opts, ds, config, hparams, params, opt_state, timers):
         if opts.model == "sage":
             from .models.sage import build_sage_pair
 
-            pair = build_sage_pair(ds.graph, impl=opts.impl)
+            pair = build_sage_pair(ds.graph, impl=opts.impl, dtype=opts.pattern_dtype)
         else:
             pair = build_agg_pair(
                 ds.graph, impl=opts.impl, pattern_dtype=opts.pattern_dtype

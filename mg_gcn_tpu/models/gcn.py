@@ -125,7 +125,7 @@ def _layer_forward(layer: dict, meta: dict, pair: AggPair, h: jax.Array, slope: 
     # "post" doubles as the activation-sign source in the parity backward:
     # the reference reuses the in-place-overwritten AHW buffer (post
     # activation *and* residual) for leaky_relu_backward (gcn.hpp:465).
-    cache = dict(h=h, hw=hw, post=ahw)
+    cache = dict(h=h, post=ahw)
     return ahw, cache
 
 

@@ -32,28 +32,14 @@ def _pagerank_mat(graph: CSRData, impl: str = "auto"):
     from ..ops import spmm_pattern
 
     if impl == "auto":
-        import jax
-
-        n_pad = spmm_pattern.round_up(graph.nrows, spmm_pattern.N_ALIGN)
-        on_tpu = jax.default_backend() in ("tpu", "axon")
-        if (
-            on_tpu
-            and spmm_pattern.is_binary(graph)
-            and n_pad * n_pad / 8 <= 9e9
-        ):
-            impl = "pattern"
-        else:
-            impl = "xla"
+        impl = "pattern" if spmm_pattern.pattern_feasible(graph) else "xla"
     if impl == "pattern":
         import jax.numpy as jnp
 
         n = graph.nrows
         n_pad = spmm_pattern.round_up(n, spmm_pattern.N_ALIGN)
         pack = spmm_pattern.pack_bits_on_device(graph, n_pad)
-        outdeg = np.diff(graph.indptr).astype(np.float64)
-        r = np.zeros(n_pad, np.float32)
-        with np.errstate(divide="ignore"):
-            r[:n] = np.where(outdeg > 0, 1.0 / outdeg, 0.0)
+        r = spmm_pattern.row_scale(graph, n_pad)
         return spmm_pattern.PatternMat(
             pack, jnp.asarray(r), n, n_pad, graph.nnz, "PT", "pre", "float32"
         )

@@ -42,37 +42,40 @@ class SAGEConfig:
         return len(self.sizes) - 1
 
 
-def build_sage_pair(graph: CSRData, impl: str = "auto", pack=None) -> AggPair:
+def build_sage_pair(
+    graph: CSRData, impl: str = "auto", pack=None, dtype: str = "bfloat16"
+) -> AggPair:
     """(M, Mᵀ) pair for mean aggregation, M = row-normalized adjacency.
 
     ``pack`` optionally reuses an already-built bit-packed pattern of the
     same graph (e.g. from a GCN PatternMat) — only the scale differs.
+    ``dtype`` is the pattern MXU dtype (bfloat16 / float32 / int8).
     """
     from ..ops import spmm_pattern
 
+    if impl not in ("auto", "pattern", "xla"):
+        raise ValueError(
+            f"SAGE aggregation impl {impl!r} not available; use auto, "
+            "pattern or xla"
+        )
     if impl == "auto":
-        n_pad = spmm_pattern.round_up(graph.nrows, spmm_pattern.N_ALIGN)
-        fits = n_pad * n_pad / 8 <= 9e9
-        on_tpu = jax.default_backend() in ("tpu", "axon")
-        if pack is not None or (on_tpu and spmm_pattern.is_binary(graph) and fits):
+        if pack is not None or spmm_pattern.pattern_feasible(graph):
             impl = "pattern"
         else:
             impl = "xla"
     if impl == "pattern":
+        if not spmm_pattern.is_binary(graph):
+            raise ValueError("pattern SpMM needs a binary adjacency (data == 1)")
         n = graph.nrows
         n_pad = spmm_pattern.round_up(n, spmm_pattern.N_ALIGN)
         if pack is None:
             pack = spmm_pattern.pack_bits_on_device(graph, n_pad)
-        outdeg = np.diff(graph.indptr).astype(np.float64)
-        r = np.zeros(n_pad, np.float32)
-        with np.errstate(divide="ignore"):
-            r[:n] = np.where(outdeg > 0, 1.0 / outdeg, 0.0)
-        scale = jnp.asarray(r)
+        scale = jnp.asarray(spmm_pattern.row_scale(graph, n_pad))
         fwd = spmm_pattern.PatternMat(
-            pack, scale, n, n_pad, graph.nnz, "P", "post", "bfloat16"
+            pack, scale, n, n_pad, graph.nnz, "P", "post", dtype
         )
         bwd = spmm_pattern.PatternMat(
-            pack, scale, n, n_pad, graph.nnz, "PT", "pre", "bfloat16"
+            pack, scale, n, n_pad, graph.nnz, "PT", "pre", dtype
         )
         return AggPair(fwd=fwd, bwd=bwd)
     m = host_sparse.normalize(graph, axis=False)

@@ -32,8 +32,7 @@ from ..formats import CSRData
 DEFAULT_IMPL = "xla"
 
 
-def round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from .spmm_pattern import round_up  # noqa: E402
 
 
 @functools.partial(

@@ -34,8 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..formats import CSRData
 
 
-def round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from .spmm_pattern import round_up  # noqa: E402
 
 
 @functools.partial(
@@ -118,6 +117,19 @@ class TiledMat:
         k_per_tile = np.zeros(n_rb * n_cb, dtype=np.int64)
         np.maximum.at(k_per_tile, tile_s, slot + 1)
         K = max(int(k_per_tile.max(initial=0)), 1)
+
+        # storage is (tiles, K, br) with the GLOBAL max slot count K — a
+        # single hub row inflates every tile. This debug/cross-check kernel
+        # refuses rather than silently allocating tens of GB; the production
+        # paths (pattern/block/COO) handle such graphs.
+        bytes_needed = 2 * n_rb * n_cb * K * br * 4
+        if bytes_needed > 4e9:
+            raise ValueError(
+                f"TiledMat ELL storage would need {bytes_needed/1e9:.1f} GB "
+                f"(K={K} slots x {n_rb * n_cb} tiles); this debug kernel "
+                "only supports small/regular graphs — use impl='pattern', "
+                "'block' or 'xla'"
+            )
 
         lcol_arr = np.zeros((n_rb * n_cb, K, br), dtype=np.int32)
         val_arr = np.zeros((n_rb * n_cb, K, br), dtype=np.float32)

@@ -124,6 +124,28 @@ def is_binary(csr: CSRData) -> bool:
     return bool(np.all(csr.data == 1.0))
 
 
+MEM_BUDGET = 9e9  # bytes of HBM a packed pattern may occupy (v5e has 16 GB)
+
+
+def pattern_feasible(csr: CSRData, budget: float = MEM_BUDGET, parts: int = 1) -> bool:
+    """True when the bit-pattern kernels apply: TPU backend, binary
+    adjacency, and n_pad²/8 (per part) within the HBM budget. The single
+    auto-selection predicate shared by train/sage/pagerank."""
+    n_pad = round_up(csr.nrows, N_ALIGN)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    return on_tpu and is_binary(csr) and n_pad * n_pad / 8 / parts <= budget
+
+
+def row_scale(csr: CSRData, n_pad: int) -> np.ndarray:
+    """Padded 1/out-degree vector: row-normalized M factors as diag(r)·P
+    (mean aggregation; matrix.hpp:341-349 normalize(false) semantics)."""
+    outdeg = np.diff(csr.indptr).astype(np.float64)
+    r = np.zeros(n_pad, np.float32)
+    with np.errstate(divide="ignore"):
+        r[: csr.nrows] = np.where(outdeg > 0, 1.0 / outdeg, 0.0)
+    return r
+
+
 def pack_bits_on_device(csr: CSRData, n_pad: int, row_chunks: int = 8) -> jax.Array:
     """Build the packed pattern on the accelerator.
 
@@ -273,8 +295,11 @@ def _bwd_kernel(b_ref, pack_ref, out_ref, *, cdtype):
     out_ref[:] = acc
 
 
-def spmm_pattern(mat: PatternMat, b: jax.Array) -> jax.Array:
-    """``C = M @ B`` for row-major B (n, d); returns (n, d) float32.
+def apply_pattern_calls(mat, b: jax.Array, call_fwd, call_bwd) -> jax.Array:
+    """Shared pre/post-scale, pad/transpose and int8 quantize/dequant wrapper
+    around a (call_fwd, call_bwd) kernel pair — used by both the dense
+    (:func:`spmm_pattern`) and block-sparse (spmm_pattern_sparse) kernels so
+    the quantization/layout logic cannot drift between them.
 
     In int8 mode the dense operand is quantized per feature (symmetric,
     scale = max|column|/127); the pattern side is exact 0/1 and the int32
@@ -296,11 +321,11 @@ def spmm_pattern(mat: PatternMat, b: jax.Array) -> jax.Array:
         bq = jnp.clip(jnp.round(b / qscale[None, :]), -127, 127).astype(jnp.int8)
         if mat.orientation == "PT":
             bf = jnp.zeros((d_pad, n_pad), jnp.int8).at[:d, :n].set(bq.T)
-            cf = _pattern_call_fwd(mat, bf).astype(jnp.float32)
+            cf = call_fwd(mat, bf).astype(jnp.float32)
             c = (cf[:d, :n] * qscale[:, None]).T
         else:
             bm = jnp.zeros((n_pad, d_pad), jnp.int8).at[:n, :d].set(bq)
-            cm = _pattern_call_bwd(mat, bm).astype(jnp.float32)
+            cm = call_bwd(mat, bm).astype(jnp.float32)
             c = cm[:n, :d] * qscale[None, :]
     elif mat.orientation == "PT":
         # cast once here: casting inside the kernel would re-convert the
@@ -308,17 +333,23 @@ def spmm_pattern(mat: PatternMat, b: jax.Array) -> jax.Array:
         op_dt = mat.compute_dtype if mat.compute_dtype == jnp.bfloat16 else jnp.float32
         bf = jnp.zeros((d_pad, n_pad), op_dt)
         bf = bf.at[:d, :n].set(b.T.astype(op_dt))
-        cf = _pattern_call_fwd(mat, bf)
+        cf = call_fwd(mat, bf)
         c = cf[:d, :n].T
     else:
         op_dt = mat.compute_dtype if mat.compute_dtype == jnp.bfloat16 else jnp.float32
         bm = jnp.zeros((n_pad, d_pad), op_dt)
         bm = bm.at[:n, :d].set(b.astype(op_dt))
-        cm = _pattern_call_bwd(mat, bm)
+        cm = call_bwd(mat, bm)
         c = cm[:n, :d]
     if mat.scale_side == "post":
         c = c * mat.scale[:n, None]
     return c
+
+
+def spmm_pattern(mat: PatternMat, b: jax.Array) -> jax.Array:
+    """``C = M @ B`` for row-major B (n, d); returns (n, d) float32.
+    See :func:`apply_pattern_calls` for the int8 quantization semantics."""
+    return apply_pattern_calls(mat, b, _pattern_call_fwd, _pattern_call_bwd)
 
 
 def _pattern_call_fwd(mat: PatternMat, bf: jax.Array) -> jax.Array:

@@ -492,33 +492,8 @@ def _call_bwd(mat: BlockPatternMat, bm: jax.Array) -> jax.Array:
 
 
 def spmm_block_pattern(mat: BlockPatternMat, b: jax.Array) -> jax.Array:
-    """``C = M @ B`` for row-major B (n, d); returns (n, d) float32."""
-    n, d = b.shape
-    if n != mat.n:
-        raise ValueError(f"B has {n} rows, pattern expects {mat.n}")
-    n_pad = mat.n_pad
-    int8_mode = mat.compute_dtype == jnp.int8
-    b = b.astype(jnp.float32)
-    if mat.scale_side == "pre":
-        b = b * mat.scale[:n, None]
-    d_pad = round_up(max(d, 8), 8)
-    if int8_mode:
-        qscale = jnp.maximum(jnp.max(jnp.abs(b), axis=0), 1e-30) / 127.0
-        bq = jnp.clip(jnp.round(b / qscale[None, :]), -127, 127).astype(jnp.int8)
-        if mat.orientation == "PT":
-            bf = jnp.zeros((d_pad, n_pad), jnp.int8).at[:d, :n].set(bq.T)
-            c = (_call_fwd(mat, bf).astype(jnp.float32)[:d, :n] * qscale[:, None]).T
-        else:
-            bm = jnp.zeros((n_pad, d_pad), jnp.int8).at[:n, :d].set(bq)
-            c = _call_bwd(mat, bm).astype(jnp.float32)[:n, :d] * qscale[None, :]
-    elif mat.orientation == "PT":
-        op_dt = mat.compute_dtype if mat.compute_dtype == jnp.bfloat16 else jnp.float32
-        bf = jnp.zeros((d_pad, n_pad), op_dt).at[:d, :n].set(b.T.astype(op_dt))
-        c = _call_fwd(mat, bf)[:d, :n].T
-    else:
-        op_dt = mat.compute_dtype if mat.compute_dtype == jnp.bfloat16 else jnp.float32
-        bm = jnp.zeros((n_pad, d_pad), op_dt).at[:n, :d].set(b.astype(op_dt))
-        c = _call_bwd(mat, bm)[:n, :d]
-    if mat.scale_side == "post":
-        c = c * mat.scale[:n, None]
-    return c
+    """``C = M @ B`` for row-major B (n, d); returns (n, d) float32.
+    Layout/scale/int8 handling is the shared dense-pattern wrapper."""
+    from .spmm_pattern import apply_pattern_calls
+
+    return apply_pattern_calls(mat, b, _call_fwd, _call_bwd)

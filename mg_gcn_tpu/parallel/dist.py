@@ -265,10 +265,10 @@ class DistPatternPair:
         )
 
 
-def _local_block_spmm(rows, cols, vals, b, num_rows):
+def _local_block_spmm(rows, cols, vals, b, num_rows, sorted_rows=True):
     g = b[cols] * vals[:, None].astype(b.dtype)
     return jax.ops.segment_sum(
-        g, rows, num_segments=num_rows, indices_are_sorted=True
+        g, rows, num_segments=num_rows, indices_are_sorted=sorted_rows
     )
 
 
@@ -295,8 +295,16 @@ def dist_aggregate(
         j = jax.lax.axis_index(GRAPH_AXIS)
         block_ids = jnp.mod(j + jnp.arange(parts), parts)  # (P,)
         cols_glob = cols + block_ids[:, None] * m_loc
+        # the concatenated per-block row ids restart at 0 every block — they
+        # are NOT sorted; the hint would let XLA's sorted fast path misplace
+        # contributions on TPU
         return _local_block_spmm(
-            rows.reshape(-1), cols_glob.reshape(-1), vals.reshape(-1), b_full, m_loc
+            rows.reshape(-1),
+            cols_glob.reshape(-1),
+            vals.reshape(-1),
+            b_full,
+            m_loc,
+            sorted_rows=False,
         )
     if strategy != "ring":
         raise ValueError(f"unknown dist spmm strategy {strategy!r}")
@@ -340,6 +348,10 @@ def dist_aggregate_pattern(
 
     m_loc, d = h.shape
     d_pad = sp.round_up(max(d, 8), 8)
+    if strategy == "fused" and parts == 1:
+        # no remote peer: the RDMA kernel would leave its round-0 send
+        # semaphore unwaited; the ring path with parts=1 is purely local
+        strategy = "ring"
     if strategy == "fused" and d_pad > sp.D_MAX:
         # the fused RDMA-ring kernel carries the full (d_pad, m_loc) operand
         # in VMEM and has no feature chunking; beyond D_MAX fall back to the
@@ -460,7 +472,7 @@ def _dist_layer_forward(layer, meta, agg_fwd, h, slope):
         ahw = ahw + h @ layer["Wres"] + layer["bres"]
     elif meta["res_identity"]:
         ahw = ahw + h
-    return ahw, dict(h=h, hw=hw, post=ahw)
+    return ahw, dict(h=h, post=ahw)
 
 
 def _dist_layer_backward(

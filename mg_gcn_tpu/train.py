@@ -26,7 +26,7 @@ from .ops.spmm import AggPair, COOMat
 from .timers import TimerRegistry
 
 
-PATTERN_MEM_BUDGET = 9e9  # bytes of HBM the packed pattern may occupy
+from .ops.spmm_pattern import MEM_BUDGET as PATTERN_MEM_BUDGET  # noqa: E402
 
 
 def build_agg_pair(

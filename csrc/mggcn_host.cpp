@@ -13,6 +13,9 @@
 // data is float32. All outputs are caller-allocated.
 
 #include <atomic>
+#include <algorithm>
+#include <utility>
+#include <vector>
 #include <cstdint>
 #include <cstring>
 
@@ -68,9 +71,11 @@ void mggcn_normalize(int64_t n, int64_t m, const int64_t* indptr,
   }
 }
 
-// CSR transpose via parallel counting sort (stable within columns, matching
-// the reference's transpose_par semantics, matrix.hpp:392-424 — ours is a
-// fresh implementation with per-edge atomic slot claims).
+// CSR transpose via parallel counting sort, deterministic within columns
+// (matching the stable numpy fallback and the reference's transpose_par
+// semantics, matrix.hpp:392-424 — ours is a fresh implementation: atomic
+// slot claims followed by a per-column sort by source row, which fully
+// determines the order because a (row, col) pair appears at most once).
 void mggcn_transpose(int64_t n, int64_t m, int64_t nnz, const int64_t* indptr,
                      const int32_t* indices, const float* data,
                      int64_t* t_indptr, int32_t* t_indices, float* t_data) {
@@ -86,10 +91,8 @@ void mggcn_transpose(int64_t n, int64_t m, int64_t nnz, const int64_t* indptr,
   for (int64_t c = 1; c <= m; ++c)
     t_indptr[c] = t_indptr[c - 1] + counts[c].load(std::memory_order_relaxed);
 
-  // second pass: claim slots per column in source-row order. Parallel over
-  // source rows keeps the within-column order stable only per-thread; to
-  // match the reference's deterministic layout we process rows in order
-  // with per-edge precomputed offsets: dloc[e] = position within column.
+  // second pass: claim slots per column with atomic cursors (fast but
+  // thread-interleaved, so within-column order is arbitrary here)
   std::atomic<int64_t>* cursor = counts;  // reuse as per-column cursors
 #pragma omp parallel for schedule(static)
   for (int64_t c = 0; c <= m; ++c) cursor[c].store(0, std::memory_order_relaxed);
@@ -105,6 +108,27 @@ void mggcn_transpose(int64_t n, int64_t m, int64_t nnz, const int64_t* indptr,
     }
   }
   delete[] counts;
+
+  // third pass: restore the deterministic (source-row ascending) order the
+  // sequential counting sort would produce — float accumulation order
+  // downstream must not vary run to run or native-vs-numpy
+#pragma omp parallel
+  {
+    std::vector<std::pair<int32_t, float>> buf;
+#pragma omp for schedule(dynamic, 64)
+    for (int64_t c = 0; c < m; ++c) {
+      const int64_t b = t_indptr[c], e = t_indptr[c + 1];
+      if (e - b < 2) continue;
+      buf.clear();
+      for (int64_t i = b; i < e; ++i) buf.emplace_back(t_indices[i], t_data[i]);
+      std::sort(buf.begin(), buf.end(),
+                [](const auto& a, const auto& b2) { return a.first < b2.first; });
+      for (int64_t i = b; i < e; ++i) {
+        t_indices[i] = buf[i - b].first;
+        t_data[i] = buf[i - b].second;
+      }
+    }
+  }
 }
 
 // P x P communication-volume matrix for a 1-D partition (prep.py:232-272):

@@ -127,6 +127,9 @@ def _csv_name(data_dir: str, sizes, P: int) -> str:
 
 
 def cmd_train(opts) -> int:
+    if opts.impl == "halo" and opts.P == 1:
+        print("--impl halo is a distributed mode; use -P <num> -R 1", file=sys.stderr)
+        return 2
     import jax
     import jax.numpy as jnp
 
@@ -277,9 +280,12 @@ def _train_dist(opts, ds, config, hparams, params, opt_state, timers):
         from .ops import spmm_pattern
         from .train import PATTERN_MEM_BUDGET
 
-        # the dist layout stores two packs (fwd + bwd ring orders) per device
+        # the dist layout stores two packs (fwd + bwd ring orders) per device;
+        # multi-process builds would materialize them on one chip, so the
+        # pattern mode is single-process-per-mesh only (halo/coo scale past)
         use_pattern = opts.impl in ("auto", "pattern") and (
             jax.default_backend() in ("tpu", "axon")
+            and jax.process_count() == 1
             and spmm_pattern.is_binary(ds.graph)
             and 2 * ds.num_nodes ** 2 / 8 / P <= PATTERN_MEM_BUDGET
         )
@@ -369,6 +375,13 @@ def _train_dist(opts, ds, config, hparams, params, opt_state, timers):
         dt = time.perf_counter() - t0
         timers.record(f"{e}_0_epoch", dt * 1e3)
         print(f"{e} {loss} {acc} {dt}", file=sys.stderr)
+        if opts.save_every and opts.save and (e + 1) % opts.save_every == 0:
+            import jax
+
+            if jax.process_index() == 0:
+                from .checkpoint import save_checkpoint
+
+                save_checkpoint(opts.save, (params, opt_state))
     return params, opt_state, 0
 
 
@@ -422,6 +435,13 @@ def _train_dist_sage(opts, ds, config, hparams, params, opt_state, timers):
         dt = time.perf_counter() - t0
         timers.record(f"{e}_0_epoch", dt * 1e3)
         print(f"{e} {loss} {acc} {dt}", file=sys.stderr)
+        if opts.save_every and opts.save and (e + 1) % opts.save_every == 0:
+            import jax
+
+            if jax.process_index() == 0:
+                from .checkpoint import save_checkpoint
+
+                save_checkpoint(opts.save, (params, opt_state))
     return params, opt_state, 0
 
 

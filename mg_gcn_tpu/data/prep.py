@@ -71,7 +71,8 @@ def pad_graph(
         sp.resize((n_pad, n_pad))
         features = np.pad(features, ((0, n_pad - n), (0, 0)))
         labels = np.pad(labels.reshape(-1), (0, n_pad - n))
-        sets = np.pad(sets.reshape(-1), (0, n_pad - n))
+        # padding nodes belong to no split (3) so --mask-train excludes them
+        sets = np.pad(sets.reshape(-1), (0, n_pad - n), constant_values=3)
     g = CSRData.from_scipy(sp.tocsr())
     if self_loops:
         g = host_sparse.add_self_loops(g)
@@ -191,11 +192,16 @@ def _make_ogb(name, out_dir, P, perm_seed):
     g, label = dataset[0]
     n = g.number_of_nodes()
     split = dataset.get_idx_split()
-    sets = np.zeros(n, np.int32)
+    # 3 = in no split (e.g. papers100M's ~109M unlabeled nodes); the
+    # reference writes sets but never reads them (main.cpp:85)
+    sets = np.full(n, 3, np.int32)
+    sets[split["train"].numpy()] = 0
     sets[split["valid"].numpy()] = 1
     sets[split["test"].numpy()] = 2
     feats = g.ndata["feat"].numpy()
-    labels = label.numpy().reshape(-1).astype(np.int32)
+    raw = label.numpy().reshape(-1)
+    unlabeled = ~np.isfinite(raw.astype(np.float64))
+    labels = np.where(unlabeled, 0, raw).astype(np.int32)  # NaN -> 0, not INT_MIN
     adj = CSRData.from_scipy(g.adjacency_matrix(scipy_fmt="csr"))
     ds = pad_graph(adj, feats, labels, sets, P=P)
     if perm_seed:

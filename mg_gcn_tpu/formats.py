@@ -128,6 +128,14 @@ def write_pigo_csr(path: str | os.PathLike, csr: CSRData) -> None:
     n, _ = csr.shape
     vwidth = 4 if n < 2**32 - 1 else 8
     ewidth = 4 if csr.nnz < 2**32 - 1 else 8
+    if vwidth == 4 and csr.nnz >= 2**32 - 1:
+        # the reference keys indptr's width off the VERTEX count (the quirk
+        # we mirror for byte compatibility), but indptr holds edge offsets —
+        # they would silently wrap here; refuse instead
+        raise ValueError(
+            f"nnz {csr.nnz} overflows the 4-byte indptr width the PIGO "
+            "format derives from n; this graph cannot be written losslessly"
+        )
     vdt, edt = _index_dtype(vwidth), _index_dtype(ewidth)
     with open(path, "wb") as f:
         f.write(PIGO_MAGIC)

@@ -36,7 +36,10 @@ def _build() -> bool:
     src = os.path.join(_CSRC, "mggcn_host.cpp")
     if not os.path.exists(src):
         return False
-    os.makedirs(_BUILD, exist_ok=True)
+    try:
+        os.makedirs(_BUILD, exist_ok=True)
+    except OSError:  # read-only checkout: numpy fallback
+        return False
     cmd = [
         "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
         "-std=c++17", src, "-o", _SO,

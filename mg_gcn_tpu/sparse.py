@@ -42,11 +42,18 @@ def normalize(csr: CSRData, axis: bool = False) -> CSRData:
         pass
     data = csr.data.astype(np.float32, copy=True)
     if not axis:
-        row_sum = np.add.reduceat(
-            data, csr.indptr[:-1].astype(np.int64), dtype=np.float64
-        ).astype(np.float32)
-        # reduceat yields garbage for empty rows (it picks the next element);
-        # empty rows have no edges to scale, so the value is unused.
+        # reduceat rejects start indices == len(data) (empty trailing rows)
+        # and yields garbage for empty rows; clamp starts — empty rows have
+        # no edges to scale, so their value is never used.
+        starts = np.minimum(
+            csr.indptr[:-1].astype(np.int64), max(csr.nnz - 1, 0)
+        )
+        if csr.nnz:
+            row_sum = np.add.reduceat(data, starts, dtype=np.float64).astype(
+                np.float32
+            )
+        else:
+            row_sum = np.ones(csr.nrows, np.float32)
         rows = _expand_rows(csr)
         data = data / row_sum[rows]
     else:
@@ -85,12 +92,28 @@ def transpose(csr: CSRData) -> CSRData:
 
 
 def add_self_loops(csr: CSRData, weight: float = 1.0) -> CSRData:
-    """Add a self edge to every node (skips nodes that already have one)."""
-    sp = csr.to_scipy().tolil()
-    for i in range(csr.nrows):
-        if sp[i, i] == 0:
-            sp[i, i] = weight
-    return CSRData.from_scipy(sp.tocsr())
+    """Add a self edge to every node (skips nodes that already have one).
+
+    Vectorized single pass (the previous LIL per-node probe was unusable at
+    papers100M scale)."""
+    import scipy.sparse as ss
+
+    rows = _expand_rows(csr)
+    has = np.zeros(csr.nrows, bool)
+    on_diag = csr.indices == rows
+    has[rows[on_diag]] = True
+    missing = np.flatnonzero(~has).astype(np.int64)
+    if missing.size == 0:
+        return csr
+    coo = csr.to_scipy().tocoo()
+    r = np.concatenate([coo.row.astype(np.int64), missing])
+    c = np.concatenate([coo.col.astype(np.int64), missing])
+    d = np.concatenate(
+        [coo.data.astype(np.float32), np.full(missing.size, weight, np.float32)]
+    )
+    out = ss.csr_matrix((d, (r, c)), shape=csr.shape)
+    out.sort_indices()
+    return CSRData.from_scipy(out)
 
 
 def uniform_partition(n: int, parts: int) -> np.ndarray:

@@ -57,6 +57,11 @@ def build_agg_pair(
     """
     from .ops import spmm_pattern, spmm_pattern_sparse
 
+    if impl not in ("auto", "pattern", "block", "xla", "pallas"):
+        raise ValueError(
+            f"unknown aggregation impl {impl!r} (expected auto/pattern/block/"
+            "xla/pallas; 'halo' is a distributed mode — see parallel.dist_halo)"
+        )
     if impl == "auto":
         import jax
 

@@ -80,3 +80,23 @@ def test_sparse_module_uses_native():
         del os.environ["MG_GCN_NO_NATIVE"]
     np.testing.assert_allclose(a1.data, a2.data, rtol=1e-6)
     np.testing.assert_allclose(t1.to_dense(), t2.to_dense())
+
+
+def test_native_transpose_deterministic_order():
+    """Native transpose must match the stable numpy counting sort exactly
+    (same within-column source-row order — float accumulation order
+    downstream must be identical native-vs-numpy and run-to-run)."""
+    import os
+
+    from mg_gcn_tpu import sparse as hs
+
+    g = rand_csr(n=800, seed=7, weights="random")
+    t_native = native.transpose(g)
+    os.environ["MG_GCN_NO_NATIVE"] = "1"
+    try:
+        t_numpy = hs.transpose(g)
+    finally:
+        del os.environ["MG_GCN_NO_NATIVE"]
+    np.testing.assert_array_equal(t_native.indptr, t_numpy.indptr)
+    np.testing.assert_array_equal(t_native.indices, t_numpy.indices)
+    np.testing.assert_array_equal(t_native.data, t_numpy.data)

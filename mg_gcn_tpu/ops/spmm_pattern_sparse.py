@@ -206,36 +206,56 @@ def block_pattern_pair_from_binary_csr(
     n_rb = n_pad // tile_r
     n_g = n_pad // GROUP
 
-    counts = np.diff(csr.indptr).astype(np.int64)
-    rows = np.repeat(np.arange(n, dtype=np.int64), counts)
-    cols = csr.indices.astype(np.int64)
-    rb = rows // tile_r
-    gb = cols // GROUP
-    tile_key = rb * n_g + gb
-
-    occupied = np.unique(tile_key)
+    # Two chunked passes over the edges (per row-block), all int32: the
+    # previous whole-graph int64 temporaries + np.unique sort dominated the
+    # Reddit-scale build on slow-memory hosts.
+    indptr = csr.indptr
+    cols32 = csr.indices
+    occ = np.zeros((n_rb, n_g), bool)
+    for rbi in range(n_rb):
+        e0 = int(indptr[min(rbi * tile_r, n)])
+        e1 = int(indptr[min((rbi + 1) * tile_r, n)])
+        if e1 > e0:
+            occ[rbi, cols32[e0:e1] >> 12] = True  # GROUP = 4096
+    occupied = np.flatnonzero(occ.reshape(-1)).astype(np.int64)  # sorted
     T = occupied.shape[0]
     if T * tile_r * 128 >= 2**31:
         raise ValueError(
             f"{T} occupied tiles exceed int32 addressing; use the dense "
             "pattern or COO path"
         )
-    tile_index = np.full(n_rb * n_g, -1, np.int64)
-    tile_index[occupied] = np.arange(T)
+    tile_index = np.full(n_rb * n_g, -1, np.int32)
+    tile_index[occupied] = np.arange(T, dtype=np.int32)
 
     # pack bits tile-locally: tile t, local row r (<TILE_R), local col c
     # (<GROUP) -> word [t, r, c % 128], bit c // 128 (the strided layout of
-    # spmm_pattern restricted to one group)
-    t_of_edge = tile_index[tile_key]
-    lrow = (rows % tile_r).astype(np.int64)
-    lcol = (cols % GROUP).astype(np.int64)
-    word = lcol % 128
-    bitpos = (lcol // 128).astype(np.int64)
-    pos = (t_of_edge * tile_r + lrow) * 128 + word
-    if build_on_device:
-        tiles_dev = _build_tiles_on_device(
-            pos.astype(np.int32), bitpos.astype(np.int8), T, tile_r
+    # spmm_pattern restricted to one group); plane counts ride along for the
+    # per-tile masks
+    nnz = csr.nnz
+    pos = np.empty(nnz, np.int32)
+    bitpos = np.empty(nnz, np.int8)
+    plane_counts = np.zeros((T + 1) * 32, np.int64)
+    for rbi in range(n_rb):
+        r0 = min(rbi * tile_r, n)
+        r1 = min((rbi + 1) * tile_r, n)
+        e0, e1 = int(indptr[r0]), int(indptr[r1])
+        if e1 == e0:
+            continue
+        c = cols32[e0:e1]
+        cnt = np.diff(indptr[r0 : r1 + 1])
+        lrow = np.repeat(np.arange(r1 - r0, dtype=np.int32), cnt)
+        t_edge = tile_index[rbi * n_g + (c >> 12)]
+        lcol = c & (GROUP - 1)
+        bp = (lcol >> 7).astype(np.int8)
+        pos[e0:e1] = (
+            t_edge.astype(np.int64) * tile_r + lrow
+        ) * 128 + (lcol & 127)
+        bitpos[e0:e1] = bp
+        plane_counts += np.bincount(
+            t_edge.astype(np.int64) * 32 + bp, minlength=(T + 1) * 32
         )
+    if build_on_device:
+        tiles_dev = _build_tiles_on_device(pos, bitpos, T, tile_r)
         tiles = None
     else:
         flat = np.zeros(T * tile_r * 128, dtype=np.uint32)
@@ -265,11 +285,10 @@ def block_pattern_pair_from_binary_csr(
 
     # per-tile plane masks: bit b set iff plane b (tile columns
     # [b·128, (b+1)·128)) contains an edge; padding tile T stays 0
-    tile_pmask = np.zeros(T + 1, np.uint32)
-    for b in range(32):
-        sel = t_of_edge[bitpos == b]
-        if sel.size:
-            tile_pmask[sel] |= np.uint32(1 << b)
+    plane_bits = (plane_counts.reshape(T + 1, 32) > 0).astype(np.uint32)
+    tile_pmask = (plane_bits << np.arange(32, dtype=np.uint32)).sum(
+        axis=1, dtype=np.uint32
+    )
 
     # plane-compacted slot table: plane_slots[t] lists the tile's live plane
     # ids first (ascending), then repeats one of its *empty* planes as

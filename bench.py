@@ -101,16 +101,21 @@ def main() -> None:
 
     SCAN = 3
     scan_steps = make_scan_train_steps(config, SCAN)
-    p2, o2 = init_params(config), adam.adam_init(init_params(config))
-    p2, o2, losses, accs = scan_steps(p2, o2, pair, x, y, None)
-    float(losses[-1])
-    times = []
-    for _ in range(2):
-        s = time.perf_counter()
-        p2, o2, losses, accs = scan_steps(p2, o2, pair, x, y, None)
-        float(losses[-1])
-        times.append((time.perf_counter() - s) / SCAN)
-    epoch_s = min(times)
+
+    def time_scan(pair_):
+        """Best per-epoch seconds over scanned runs (fresh params each)."""
+        p2, o2 = init_params(config), adam.adam_init(init_params(config))
+        p2, o2, losses, _ = scan_steps(p2, o2, pair_, x, y, None)
+        float(losses[-1])  # compile + force
+        times = []
+        for _ in range(2):
+            s = time.perf_counter()
+            p2, o2, losses, _ = scan_steps(p2, o2, pair_, x, y, None)
+            float(losses[-1])
+            times.append((time.perf_counter() - s) / SCAN)
+        return min(times)
+
+    epoch_s = time_scan(pair)
     print(
         f"[bf16-scan] {epoch_s:.3f}s/epoch (dispatch-per-epoch: "
         f"{epoch_s_dispatch:.3f}s)",
@@ -136,16 +141,7 @@ def main() -> None:
         params8 = init_params(config)
         opt8 = adam.adam_init(params8)
         int8_epoch_s = run_epochs(step, params8, opt8, pair8, "int8")
-        p8, o8 = init_params(config), adam.adam_init(init_params(config))
-        p8, o8, losses8, _ = scan_steps(p8, o8, pair8, x, y, None)
-        float(losses8[-1])
-        stimes = []
-        for _ in range(2):
-            s = time.perf_counter()
-            p8, o8, losses8, _ = scan_steps(p8, o8, pair8, x, y, None)
-            float(losses8[-1])
-            stimes.append((time.perf_counter() - s) / SCAN)
-        int8_scan_epoch_s = min(stimes)
+        int8_scan_epoch_s = time_scan(pair8)
         print(f"[int8-scan] {int8_scan_epoch_s:.3f}s/epoch", file=sys.stderr)
 
     # auxiliary: BASELINE config 4 — GraphSAGE mean-aggregate, hidden 512.

@@ -126,6 +126,18 @@ def _csv_name(data_dir: str, sizes, P: int) -> str:
     return f"{name}_{P}.csv"
 
 
+def _maybe_save(opts, epoch: int, params, opt_state) -> None:
+    """Periodic checkpoint hook shared by the training loops (process 0)."""
+    if not (opts.save_every and opts.save and (epoch + 1) % opts.save_every == 0):
+        return
+    import jax
+
+    if jax.process_index() == 0:
+        from .checkpoint import save_checkpoint
+
+        save_checkpoint(opts.save, (params, opt_state))
+
+
 def cmd_train(opts) -> int:
     if opts.impl == "halo" and opts.P == 1:
         print("--impl halo is a distributed mode; use -P <num> -R 1", file=sys.stderr)
@@ -246,10 +258,7 @@ def _train_single(opts, ds, config, hparams, params, opt_state, timers):
         dt = time.perf_counter() - t0
         timers.record(f"{e}_0_epoch", dt * 1e3)
         print(f"{e} {loss} {acc} {dt}", file=sys.stderr)
-        if opts.save_every and opts.save and (e + 1) % opts.save_every == 0:
-            from .checkpoint import save_checkpoint
-
-            save_checkpoint(opts.save, (params, opt_state))
+        _maybe_save(opts, e, params, opt_state)
     if opts.time_phases and opts.model == "gcn":
         from .diagnostics import profile_epoch
 
@@ -375,13 +384,7 @@ def _train_dist(opts, ds, config, hparams, params, opt_state, timers):
         dt = time.perf_counter() - t0
         timers.record(f"{e}_0_epoch", dt * 1e3)
         print(f"{e} {loss} {acc} {dt}", file=sys.stderr)
-        if opts.save_every and opts.save and (e + 1) % opts.save_every == 0:
-            import jax
-
-            if jax.process_index() == 0:
-                from .checkpoint import save_checkpoint
-
-                save_checkpoint(opts.save, (params, opt_state))
+        _maybe_save(opts, e, params, opt_state)
     return params, opt_state, 0
 
 
@@ -435,13 +438,7 @@ def _train_dist_sage(opts, ds, config, hparams, params, opt_state, timers):
         dt = time.perf_counter() - t0
         timers.record(f"{e}_0_epoch", dt * 1e3)
         print(f"{e} {loss} {acc} {dt}", file=sys.stderr)
-        if opts.save_every and opts.save and (e + 1) % opts.save_every == 0:
-            import jax
-
-            if jax.process_index() == 0:
-                from .checkpoint import save_checkpoint
-
-                save_checkpoint(opts.save, (params, opt_state))
+        _maybe_save(opts, e, params, opt_state)
     return params, opt_state, 0
 
 

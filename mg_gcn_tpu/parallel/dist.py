@@ -530,6 +530,20 @@ def _dist_softmax_xent(logits, y, n_total, mask=None):
     return loss, acc, g
 
 
+def _local_xent_terms(logits, yv, m, denom):
+    """Per-device (loss_share, acc_share) for the row-local softmax-xent —
+    differentiable (used under value_and_grad by the exact GCN and SAGE
+    steps); the caller psums the shares."""
+    o = softmax(logits)
+    n_loc = logits.shape[0]
+    logp = jnp.log(jnp.maximum(o[jnp.arange(n_loc), yv], jnp.finfo(o.dtype).tiny))
+    pred = jnp.argmax(jax.lax.stop_gradient(o), axis=-1).astype(jnp.int32)
+    correct = (pred == yv).astype(jnp.float32)
+    if m is None:
+        return -jnp.sum(logp) / denom, jnp.sum(correct) / denom
+    return -jnp.sum(logp * m) / denom, jnp.sum(correct * m) / denom
+
+
 def dist_loss_and_grad(
     params: Sequence[dict],
     agg_fwd,
@@ -596,8 +610,6 @@ def dist_loss_and_grad_exact(
     The differentiated function returns the *local* loss share (no psum
     inside — psum's transpose is psum, which would scale every cotangent by
     P); loss/acc/grads are psum'd afterwards, the reference's allreduce."""
-    from ..ops.softmax_xent import softmax as _softmax
-
     agg = _exact_agg(agg_fwd, agg_bwd)
     yv = y.reshape(-1)
     if mask is None:
@@ -613,14 +625,7 @@ def dist_loss_and_grad_exact(
             h, _ = _dist_layer_forward(
                 layer, config.layer_meta(i), agg, h, config.leaky_slope
             )
-        o = _softmax(h)  # rows are device-local in the row partition
-        n_loc = h.shape[0]
-        logp = jnp.log(jnp.maximum(o[jnp.arange(n_loc), yv], jnp.finfo(o.dtype).tiny))
-        pred = jnp.argmax(jax.lax.stop_gradient(o), axis=-1).astype(jnp.int32)
-        correct = (pred == yv).astype(jnp.float32)
-        if m is None:
-            return -jnp.sum(logp) / denom, jnp.sum(correct) / denom
-        return -jnp.sum(logp * m) / denom, jnp.sum(correct * m) / denom
+        return _local_xent_terms(h, yv, m, denom)
 
     (loss_loc, acc_loc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
     loss = jax.lax.psum(loss_loc, GRAPH_AXIS)
@@ -790,8 +795,6 @@ def make_dist_sage_train_step(
     except ImportError:  # pragma: no cover
         from jax.experimental.shard_map import shard_map
 
-    from ..ops.softmax_xent import softmax as _softmax
-
     hp = dict(adam.DEFAULT_HPARAMS)
     if hparams:
         hp.update(hparams)
@@ -853,20 +856,7 @@ def make_dist_sage_train_step(
                 h = h @ layer["Wself"] + neigh @ layer["Wneigh"] + layer["b"]
                 if i + 1 < config.num_layers:
                     h = ew.leaky_relu(h, config.leaky_slope)
-            o = _softmax(h)
-            n_loc = h.shape[0]
-            logp = jnp.log(
-                jnp.maximum(o[jnp.arange(n_loc), yv], jnp.finfo(o.dtype).tiny)
-            )
-            pred = jnp.argmax(jax.lax.stop_gradient(o), axis=-1).astype(jnp.int32)
-            correct = (pred == yv).astype(jnp.float32)
-            if m is None:
-                loss_loc = -jnp.sum(logp) / denom
-                acc_loc = jnp.sum(correct) / denom
-            else:
-                loss_loc = -jnp.sum(logp * m) / denom
-                acc_loc = jnp.sum(correct * m) / denom
-            return loss_loc, acc_loc
+            return _local_xent_terms(h, yv, m, denom)
 
         (loss_loc, acc_loc), grads = jax.value_and_grad(local_loss, has_aux=True)(
             params

@@ -138,3 +138,18 @@ def test_block_pattern_tile_r_variants(tile_r):
     np.testing.assert_allclose(got_f, a_hat.T @ b, rtol=1e-5, atol=1e-5)
     got_b = np.asarray(sps.spmm_block_pattern(bwd, jnp.asarray(b)))
     np.testing.assert_allclose(got_b, a_hat @ b, rtol=1e-5, atol=1e-5)
+
+
+def test_block_pattern_wide_features_chunked():
+    """d > D_MAX exercises the feature-chunked block-kernel calls."""
+    from mg_gcn_tpu.ops.spmm_pattern import D_MAX
+
+    g = clustered_graph(n=5000)
+    fwd, bwd = sps.block_pattern_pair_from_binary_csr(g, dtype="float32")
+    d = D_MAX + 24
+    b = np.random.default_rng(8).random((g.nrows, d)).astype(np.float32)
+    a_hat = sparse.normalize(g, axis=True).to_dense()
+    got_f = np.asarray(sps.spmm_block_pattern(fwd, jnp.asarray(b)))
+    np.testing.assert_allclose(got_f, a_hat.T @ b, rtol=1e-5, atol=1e-5)
+    got_b = np.asarray(sps.spmm_block_pattern(bwd, jnp.asarray(b)))
+    np.testing.assert_allclose(got_b, a_hat @ b, rtol=1e-5, atol=1e-5)

@@ -142,6 +142,13 @@ def cmd_train(opts) -> int:
     if opts.impl == "halo" and opts.P == 1:
         print("--impl halo is a distributed mode; use -P <num> -R 1", file=sys.stderr)
         return 2
+    if opts.model == "sage" and opts.impl in ("block", "pallas"):
+        print(
+            f"--model sage does not support --impl {opts.impl}; "
+            "use auto, pattern, xla, or halo",
+            file=sys.stderr,
+        )
+        return 2
     import jax
     import jax.numpy as jnp
 

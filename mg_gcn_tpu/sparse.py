@@ -42,18 +42,15 @@ def normalize(csr: CSRData, axis: bool = False) -> CSRData:
         pass
     data = csr.data.astype(np.float32, copy=True)
     if not axis:
-        # reduceat rejects start indices == len(data) (empty trailing rows)
-        # and yields garbage for empty rows; clamp starts — empty rows have
-        # no edges to scale, so their value is never used.
-        starts = np.minimum(
-            csr.indptr[:-1].astype(np.int64), max(csr.nnz - 1, 0)
+        # Exact per-row sums via prefix sums (reduceat mishandles empty
+        # rows: clamped start indices merge/truncate segments whenever
+        # trailing rows are empty). Empty rows get sum 0 and are never
+        # indexed by `rows`.
+        csum = np.concatenate(
+            ([0.0], np.cumsum(data, dtype=np.float64))
         )
-        if csr.nnz:
-            row_sum = np.add.reduceat(data, starts, dtype=np.float64).astype(
-                np.float32
-            )
-        else:
-            row_sum = np.ones(csr.nrows, np.float32)
+        ptr = csr.indptr.astype(np.int64)
+        row_sum = (csum[ptr[1:]] - csum[ptr[:-1]]).astype(np.float32)
         rows = _expand_rows(csr)
         data = data / row_sum[rows]
     else:

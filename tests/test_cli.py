@@ -71,6 +71,15 @@ def test_cli_train_dist_sage(toy, tmp_path):
     assert len(lines) >= 2
 
 
+def test_cli_sage_rejects_block_impl(toy, tmp_path):
+    r = run_cli(
+        ["--model", "sage", "--impl", "block", "-E", "1", "train", toy, "1", "8"],
+        cwd=tmp_path,
+    )
+    assert r.returncode == 2
+    assert "sage" in r.stderr and "block" in r.stderr
+
+
 def test_cli_dist_requires_R(toy, tmp_path):
     r = run_cli(["-P", "4", "-E", "1", "train", toy, "1", "8"], cwd=tmp_path)
     assert r.returncode == 2

@@ -24,6 +24,38 @@ def test_normalize_rows():
     np.testing.assert_allclose(sums[nz], 1.0, rtol=1e-5)
 
 
+def test_normalize_rows_trailing_empty():
+    # Regression (advisor r1): with trailing empty rows the reduceat
+    # start-clamp truncated the last non-empty row's segment, so its sum
+    # excluded data[nnz-1]. Row 0 = [1, 2] must become [1/3, 2/3].
+    indptr = np.array([0, 2, 2, 2], np.int64)
+    csr = CSRData(
+        indptr=indptr,
+        indices=np.array([0, 1], np.int32),
+        data=np.array([1.0, 2.0], np.float32),
+        shape=(3, 3),
+    )
+    out = sparse.normalize(csr, axis=False)
+    np.testing.assert_allclose(out.data, [1 / 3, 2 / 3], rtol=1e-6)
+
+
+def test_normalize_rows_numpy_fallback_trailing_empty(monkeypatch):
+    # Same regression exercising the pure-numpy path even when the native
+    # library is available.
+    from mg_gcn_tpu import native
+
+    monkeypatch.setattr(native, "available", lambda: False)
+    indptr = np.array([0, 1, 3, 3, 3], np.int64)
+    csr = CSRData(
+        indptr=indptr,
+        indices=np.array([2, 0, 1], np.int32),
+        data=np.array([4.0, 1.0, 3.0], np.float32),
+        shape=(4, 3),
+    )
+    out = sparse.normalize(csr, axis=False)
+    np.testing.assert_allclose(out.data, [1.0, 0.25, 0.75], rtol=1e-6)
+
+
 def test_normalize_cols():
     csr = rand_csr(seed=2)
     out = sparse.normalize(csr, axis=True).to_dense()

@@ -53,14 +53,18 @@ def build_sage_pair(
     """
     from ..ops import spmm_pattern
 
-    if impl not in ("auto", "pattern", "xla"):
+    if impl not in ("auto", "pattern", "edge", "xla"):
         raise ValueError(
             f"SAGE aggregation impl {impl!r} not available; use auto, "
-            "pattern or xla"
+            "pattern, edge or xla"
         )
     if impl == "auto":
+        import jax as _jax
+
         if pack is not None or spmm_pattern.pattern_feasible(graph):
             impl = "pattern"
+        elif _jax.default_backend() in ("tpu", "axon"):
+            impl = "edge"  # weighted / oversized graphs (ops/spmm_edges.py)
         else:
             impl = "xla"
     if impl == "pattern":
@@ -80,6 +84,16 @@ def build_sage_pair(
         return AggPair(fwd=fwd, bwd=bwd)
     m = host_sparse.normalize(graph, axis=False)
     m_t = host_sparse.transpose(m)
+    if impl == "edge":
+        from ..ops.spmm_edges import edge_pair_from_csr_pair
+
+        try:
+            fwd, bwd = edge_pair_from_csr_pair(
+                m, m_t, dtype="bfloat16" if dtype == "int8" else dtype
+            )
+            return AggPair(fwd=fwd, bwd=bwd)
+        except ValueError:
+            pass  # schedule too large for single-chip SMEM; COO below
     return AggPair(fwd=COOMat.from_csr(m), bwd=COOMat.from_csr(m_t))
 
 

@@ -1,0 +1,439 @@
+"""Edge-tile one-hot SpMM — fast *weighted*-CSR aggregation on the MXU.
+
+This closes the one capability gap vs the reference: cuSPARSE SpMM takes
+arbitrary edge values (``cuda_utils.hpp:27-32,94-102``), while the bit-packed
+pattern kernels (:mod:`.spmm_pattern`) require a binary adjacency. TPU v5e
+has no cross-vreg gather, so a classic gather/scatter SpMM runs at VPU
+per-edge speed; this kernel instead routes *everything* through iota
+compares and MXU matmuls:
+
+1. Edges are sorted by (output row-tile of height ``br``, 128-column
+   operand window) and padded into chunks of K=128 slots per (br x 128)
+   sub-tile (padding slots carry weight 0). A grid step processes CPS=8
+   chunks of one *outer* tile (br x BCW=4096 operand columns); each chunk
+   records which 128-column sub-window of the outer tile it belongs to.
+2. Per chunk, two one-hot factors are built with lane-aligned iota
+   compares (no transposes, no gathers):
+
+       Hr[r, e] = [row_e == r]          (br, K)
+       Hg[c, e] = w_e * [col_e == c]    (128, K)
+
+   and contracted over the edge-slot axis on the MXU:
+
+       M = Hr @ Hgᵀ                     (br, 128) — the dense-materialized
+                                        sparse sub-tile, f32 accumulation.
+3. One dense matmul applies the chunk: acc += M @ B[chi*128 : +128, :]
+   where ``chi`` is the chunk's sub-window index (a scalar read from an
+   SMEM-blocked metadata input — Mosaic's scalar core slices the VMEM
+   operand block at chi*128, the same dynamic-sublane pattern the
+   block-sparse kernel uses).
+
+Cost is O(nnz) compute and memory — no n² term — so this kernel also serves
+*binary* graphs too large for the n²/8 pattern store. Measured numbers live
+in PERF.md. Design constraints this layout satisfies:
+
+* SMEM holds ~1 MB of scalar-prefetch data: the per-*step* schedule packs
+  (row-tile, column-window, first-visit) into ONE i32; outer 4096-wide
+  windows keep the step count ~nnz/1000.
+* Per-chunk metadata (the sub-window index) would not fit SMEM prefetch;
+  it rides as a (S, CPS) SMEM-*blocked* input instead.
+* Slot blocks are (CPS, K) per step, statically row-indexed by the
+  unrolled chunk loop — legal for 16-bit dtypes (dynamic sublane slicing
+  of bf16 at row granularity is not).
+* ``br`` is auto-tuned per graph: fill = nnz over padded slots is governed
+  by ceil(lambda/K) quantization of the sub-tile edge count lambda =
+  br*128*density, so the builder picks the br that maximizes fill per unit
+  of per-chunk VPU+MXU cost.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats import CSRData
+from .spmm_pattern import round_up
+
+BC = 128  # operand rows per sub-tile / one-hot width (one lane group)
+K = 128  # edge slots per chunk (one lane row)
+CPS = 8  # chunks per grid step
+BCW = 4096  # operand columns per outer tile (B block height)
+D_MAX_E = 256  # feature columns per kernel call (VMEM bound)
+MAX_STEPS = 220_000  # SMEM budget: one packed i32 per step, ~1 MB total
+BR_CANDIDATES = (512, 640, 768, 896, 1024, 1280, 1536, 2048)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["idx", "w", "meta", "chi"],
+    meta_fields=[
+        "n_out",
+        "n_in",
+        "n_out_pad",
+        "n_in_pad",
+        "nnz",
+        "br",
+        "tcw_bits",
+        "dtype_name",
+        "fill",
+    ],
+)
+@dataclass(frozen=True)
+class EdgeTileMat:
+    """A weighted sparse matrix as scheduled edge-slot chunks (C = M @ B).
+
+    ``idx[s*CPS + c, e]`` holds slot e of chunk c of step s as
+    ``row_local * BC + col_local`` (row_local < br, col_local < 128 within
+    the chunk's sub-window); ``w`` holds the edge value (0 for padding
+    slots). ``meta[s]`` packs the per-step schedule
+    ``(tr << (tcw_bits+1)) | (tcw << 1) | first``; ``chi[s, c]`` is chunk
+    c's 128-column sub-window within the outer tile (0..BCW/128-1).
+    """
+
+    idx: jax.Array  # i32[S*CPS, K]
+    w: jax.Array  # cdtype[S*CPS, K]
+    meta: jax.Array  # i32[S]
+    chi: jax.Array  # i32[S, CPS]
+    n_out: int
+    n_in: int
+    n_out_pad: int
+    n_in_pad: int
+    nnz: int
+    br: int
+    tcw_bits: int
+    dtype_name: str = "bfloat16"
+    fill: float = 1.0  # nnz / slot count (diagnostic)
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype_name)
+
+    @property
+    def num_steps(self) -> int:
+        return self.meta.shape[0]
+
+
+def _pick_br(n_out: int, n_in: int, nnz: int) -> int:
+    """Choose the row-tile height: maximize slot fill per per-chunk cost.
+
+    fill(br) = lam / (ceil(lam/K)*K) with lam = br*BC*density (the mean
+    sub-tile edge count); per-slot cost grows ~linearly in br (Hr compare +
+    two (br,128)-shaped matmuls). The score below reproduces the measured
+    cost slope (PERF.md); ties break toward fewer steps (smaller SMEM)."""
+    density = nnz / max(n_out * n_in, 1)
+    best, best_score = BR_CANDIDATES[0], -1.0
+    for br in BR_CANDIDATES:
+        lam = br * BC * density
+        fill = lam / (np.ceil(max(lam, 1e-9) / K) * K)
+        cost = 1.0 + br / 512.0  # relative per-slot cost
+        score = fill / cost
+        if score > best_score + 1e-9:
+            best, best_score = br, score
+    return best
+
+
+def edge_tile_mat_from_csr(
+    csr: CSRData,
+    dtype: str = "bfloat16",
+    br: int | None = None,
+    device=None,
+) -> EdgeTileMat:
+    """Host-side tiling/chunking/padding of a weighted CSR matrix.
+
+    Works for any edge values (the cuSPARSE-generality parity path). All
+    passes are vectorized numpy; edges are radix-sorted by sub-tile id.
+    """
+    n_out, n_in = csr.shape
+    if br is None:
+        br = _pick_br(n_out, n_in, csr.nnz)
+    if br % 8 or br <= 0:
+        raise ValueError("br must be a positive multiple of 8")
+    n_out_pad = round_up(max(n_out, br), br)
+    n_in_pad = round_up(max(n_in, BCW), BCW)
+    n_tr = n_out_pad // br
+    n_sub = n_in_pad // BC  # global 128-col sub-windows
+    n_tcw = n_in_pad // BCW
+    wsub = BCW // BC  # sub-windows per outer tile
+
+    # int32 edge temporaries: single-chip schedules cap n and nnz well
+    # below 2^31, and this host first-touches memory slowly (NOTES.md)
+    if csr.nnz >= 2**31 or n_tr * n_sub >= 2**31:
+        raise ValueError("graph too large for the single-chip edge-tile build")
+    counts = np.diff(csr.indptr).astype(np.int64)
+    rows = np.repeat(np.arange(n_out, dtype=np.int32), counts)
+    cols = csr.indices.astype(np.int32, copy=False)
+    skey = (rows // br).astype(np.int64) * n_sub + (cols // BC)
+    skey = skey.astype(np.int32)  # < n_tr * n_sub < 2^31
+    order = np.argsort(skey, kind="stable")
+    rows_s = rows[order]
+    cols_s = cols[order]
+    data_s = csr.data[order].astype(np.float32)
+
+    # unique-on-sorted without np.unique's internal re-sort of 10^8 keys
+    skey_s = skey[order]
+    if skey_s.size:
+        change = np.flatnonzero(
+            np.concatenate([[True], skey_s[1:] != skey_s[:-1]])
+        )
+        subs = skey_s[change].astype(np.int64)
+        scounts = np.diff(np.concatenate([change, [skey_s.size]]))
+    else:
+        subs = np.empty(0, np.int64)
+        scounts = np.empty(0, np.int64)
+    sstart = np.concatenate([[0], np.cumsum(scounts)])[:-1]
+    chunks_of = -(-scounts // K)  # ceil: chunks per sub-tile
+    # per-chunk arrays (sorted by (tr, tcw, chi) because subs is sorted)
+    c_sub = np.repeat(subs, chunks_of)
+    c_rank = np.arange(c_sub.size) - np.repeat(
+        np.cumsum(chunks_of) - chunks_of, chunks_of
+    )
+    c_e0 = np.repeat(sstart, chunks_of) + c_rank * K
+    c_e1 = np.minimum(c_e0 + K, np.repeat(sstart + scounts, chunks_of))
+    c_tr = c_sub // n_sub
+    c_gsub = c_sub % n_sub
+    c_tcw = c_gsub // wsub
+    c_chi = c_gsub % wsub
+
+    # group chunks into steps of CPS within each (tr, tcw) outer tile:
+    # pad each outer tile's chunk list to a multiple of CPS with empty
+    # chunks (chi=0, w=0)
+    okey = c_tr * n_tcw + c_tcw
+    outers, ocounts = np.unique(okey, return_counts=True)
+    steps_of = -(-ocounts // CPS)
+    ostart = np.concatenate([[0], np.cumsum(ocounts)])[:-1]
+    # chunk slot grid: for outer tile o, steps_of[o]*CPS chunk slots
+    cs_outer = np.repeat(np.arange(outers.size), steps_of * CPS)
+    cs_rank = np.arange(cs_outer.size) - np.repeat(
+        np.cumsum(steps_of * CPS) - steps_of * CPS, steps_of * CPS
+    )
+    cs_src = ostart[cs_outer] + np.minimum(cs_rank, ocounts[cs_outer] - 1)
+    cs_valid = cs_rank < ocounts[cs_outer]
+
+    # per-step schedule (+ dummy steps for row-tiles with no edges, whose
+    # output blocks must still be zero-initialized exactly once)
+    s_outer = np.repeat(outers, steps_of)
+    s_tr = s_outer // n_tcw
+    s_tcw = s_outer % n_tcw
+    present_tr = np.unique(s_tr) if s_tr.size else np.empty(0, np.int64)
+    missing_tr = np.setdiff1d(np.arange(n_tr, dtype=np.int64), present_tr)
+    if missing_tr.size:
+        n_real = s_tr.size
+        s_tr = np.concatenate([s_tr, missing_tr])
+        s_tcw = np.concatenate([s_tcw, np.zeros(missing_tr.size, np.int64)])
+        reorder = np.argsort(s_tr, kind="stable")
+        s_tr, s_tcw = s_tr[reorder], s_tcw[reorder]
+        # dummy steps carry all-invalid chunk slots; splice the real steps'
+        # chunk-slot rows into their new positions
+        real = reorder < n_real  # position -> was a real step
+        cs_valid2 = np.zeros((s_tr.size, CPS), bool)
+        cs_src2 = np.zeros((s_tr.size, CPS), np.int64)
+        cs_valid2[real] = cs_valid.reshape(-1, CPS)[reorder[real]]
+        cs_src2[real] = cs_src.reshape(-1, CPS)[reorder[real]]
+        cs_src, cs_valid = cs_src2.reshape(-1), cs_valid2.reshape(-1)
+    # pad the step count to a multiple of 8 with no-op steps (the chi SMEM
+    # block ships 8 steps per fetch); no-ops revisit the last row-tile with
+    # zero-weight slots and first=0
+    S_real = s_tr.size
+    S = round_up(max(S_real, 1), 8)
+    if S > S_real:
+        pad = S - S_real
+        pad_tr = s_tr[-1] if S_real else 0
+        s_tr = np.concatenate([s_tr, np.full(pad, pad_tr, np.int64)])
+        s_tcw = np.concatenate([s_tcw, np.zeros(pad, np.int64)])
+        cs_src = np.concatenate([cs_src, np.zeros(pad * CPS, np.int64)])
+        cs_valid = np.concatenate([cs_valid, np.zeros(pad * CPS, bool)])
+    first = np.ones(S, np.int32)
+    if S > 1:
+        first[1:] = (s_tr[1:] != s_tr[:-1]).astype(np.int32)
+
+    tcw_bits = max(int(np.ceil(np.log2(max(n_tcw, 2)))), 1)
+    tr_bits = max(int(np.ceil(np.log2(max(n_tr, 2)))), 1)
+    if tr_bits + tcw_bits + 1 > 31:
+        raise ValueError(
+            f"graph too large for the single-chip edge-tile schedule "
+            f"({n_tr} row-tiles x {n_tcw} column windows); shard it first "
+            "(parallel.dist / dist_halo)"
+        )
+    if S > MAX_STEPS:
+        raise ValueError(
+            f"edge-tile schedule has {S} steps (> {MAX_STEPS}, the ~1 MB "
+            "SMEM prefetch budget); increase br or shard the graph"
+        )
+    meta = ((s_tr.astype(np.int64) << (tcw_bits + 1)) | (s_tcw << 1) | first).astype(
+        np.int32
+    )
+
+    # per-chunk chi (sub-window) + slot arrays
+    chi = np.zeros(S * CPS, np.int32)
+    if c_e0.size:
+        valid_chunk = cs_valid
+        chi[valid_chunk] = c_chi[cs_src[valid_chunk]]
+        chunk_e0 = np.where(valid_chunk, c_e0[cs_src], 0)
+        chunk_e1 = np.where(valid_chunk, c_e1[cs_src], 0)
+        chunk_tr = np.where(valid_chunk, c_tr[cs_src], 0)
+        chunk_gsub = np.where(valid_chunk, c_gsub[cs_src], 0)
+    else:
+        chunk_e0 = chunk_e1 = chunk_tr = chunk_gsub = np.zeros(S * CPS, np.int64)
+
+    idx16 = np.zeros((S * CPS, K), np.int32)
+    w32 = np.zeros((S * CPS, K), np.float32)
+    total_chunks = S * CPS
+    chunk_batch = max(1, (1 << 25) // K)
+    lane = np.arange(K, dtype=np.int64)[None, :]
+    for b0 in range(0, total_chunks if csr.nnz else 0, chunk_batch):
+        b1 = min(b0 + chunk_batch, total_chunks)
+        pos = chunk_e0[b0:b1, None] + lane
+        valid = pos < chunk_e1[b0:b1, None]
+        src = np.where(valid, pos, 0)
+        rl = rows_s[src] - chunk_tr[b0:b1, None] * br
+        cl = cols_s[src] - chunk_gsub[b0:b1, None] * BC
+        idx16[b0:b1] = np.where(valid, rl * BC + cl, 0).astype(np.int32)
+        w32[b0:b1] = np.where(valid, data_s[src], 0.0)
+
+    put = lambda x: jax.device_put(x, device) if device is not None else jnp.asarray(x)
+    cdtype = jnp.dtype(dtype)
+    if cdtype == jnp.bfloat16:
+        import ml_dtypes
+
+        w_dev = put(w32.astype(ml_dtypes.bfloat16))
+    elif cdtype == jnp.float32:
+        w_dev = put(w32)
+    else:
+        raise ValueError(f"unsupported edge-tile dtype {dtype!r}")
+    return EdgeTileMat(
+        idx=put(idx16),
+        w=w_dev,
+        meta=put(meta),
+        chi=put(chi.reshape(S, CPS)),
+        n_out=n_out,
+        n_in=n_in,
+        n_out_pad=n_out_pad,
+        n_in_pad=n_in_pad,
+        nnz=csr.nnz,
+        br=br,
+        tcw_bits=tcw_bits,
+        dtype_name=dtype,
+        fill=float(csr.nnz) / max(S * CPS * K, 1),
+    )
+
+
+def _edge_kernel(meta_ref, chi_ref, idx_ref, w_ref, b_ref, out_ref, *, br, cdtype):
+    s = pl.program_id(0)
+
+    @pl.when((meta_ref[s] & 1) == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # f32 mode is the exact path: force full-precision MXU passes (the
+    # default lets XLA run f32 matmuls as single bf16 passes)
+    prec = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else None
+    acc = out_ref[:]
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (br, K), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (BC, K), 0)
+    for c in range(CPS):
+        v = idx_ref[c : c + 1, :]  # (1, K) i32: rl*BC + cl
+        rl = v >> 7  # BC = 128
+        cl = v & (BC - 1)
+        wv = w_ref[c : c + 1, :]
+        if wv.dtype != jnp.float32:
+            wv = wv.astype(jnp.float32)
+        # compares/selects stay in i32/f32 (Mosaic v5e cannot relayout the
+        # i1 mask to 16-bit tiling); cast to the MXU dtype afterwards
+        hr = (iota_r == rl).astype(jnp.float32).astype(cdtype)  # (br, K)
+        hg = jnp.where(iota_c == cl, wv, 0.0).astype(cdtype)  # (BC, K)
+        # contract the edge-slot axis: M[r, c] = sum_e Hr[r,e]*Hg[c,e]
+        m = jax.lax.dot_general(
+            hr,
+            hg,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        bsub = b_ref[pl.ds(chi_ref[s % 8, c] * BC, BC), :]
+        acc += jnp.dot(
+            m.astype(cdtype), bsub, preferred_element_type=jnp.float32, precision=prec
+        )
+    out_ref[:] = acc
+
+
+def _edge_call(mat: EdgeTileMat, b_pad: jax.Array) -> jax.Array:
+    """out(n_out_pad, d_pad) f32 = M @ b_pad for b_pad (n_in_pad, d_pad)
+    already in compute dtype."""
+    if b_pad.shape[1] > D_MAX_E:
+        return jnp.concatenate(
+            [
+                _edge_call(mat, b_pad[:, i : i + D_MAX_E])
+                for i in range(0, b_pad.shape[1], D_MAX_E)
+            ],
+            axis=1,
+        )
+    n_in_pad, d_pad = b_pad.shape
+    S = mat.num_steps
+    br = mat.br
+    tcw_bits = mat.tcw_bits
+    tcw_mask = (1 << tcw_bits) - 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec(
+                (8, CPS), lambda s, meta: (s // 8, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((CPS, K), lambda s, meta: (s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CPS, K), lambda s, meta: (s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (BCW, d_pad),
+                lambda s, meta: ((meta[s] >> 1) & tcw_mask, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (br, d_pad),
+            lambda s, meta: (meta[s] >> (tcw_bits + 1), 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_edge_kernel, br=br, cdtype=mat.compute_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mat.n_out_pad, d_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * S * CPS * (br * BC * K + br * BC * d_pad),
+            bytes_accessed=mat.idx.size * 4
+            + mat.w.size * mat.w.dtype.itemsize
+            + S * BCW * d_pad * b_pad.dtype.itemsize
+            + mat.n_out_pad * d_pad * 4,
+            transcendentals=0,
+        ),
+    )(mat.meta, mat.chi, mat.idx, mat.w, b_pad)
+
+
+def spmm_edge_tiles(mat: EdgeTileMat, b: jax.Array) -> jax.Array:
+    """``C = M @ B`` for row-major B (n_in, d); returns (n_out, d) float32."""
+    n, d = b.shape
+    if n != mat.n_in:
+        raise ValueError(f"B has {n} rows, edge-tile matrix expects {mat.n_in}")
+    cdtype = mat.compute_dtype
+    d_pad = round_up(max(d, 128), 128)
+    b_pad = jnp.zeros((mat.n_in_pad, d_pad), cdtype)
+    b_pad = b_pad.at[:n, :d].set(b.astype(cdtype))
+    out = _edge_call(mat, b_pad)
+    return out[: mat.n_out, :d]
+
+
+def edge_pair_from_csr_pair(
+    csr_fwd: CSRData, csr_bwd: CSRData, dtype: str = "bfloat16", **kw
+) -> tuple[EdgeTileMat, EdgeTileMat]:
+    """(forward A_hat_T @, backward A_hat @) pair for already-normalized
+    weighted matrices — the edge-tile analogue of sparse_linear's (A_T, A)
+    members (gcn.hpp:13-48)."""
+    return (
+        edge_tile_mat_from_csr(csr_fwd, dtype=dtype, **kw),
+        edge_tile_mat_from_csr(csr_bwd, dtype=dtype, **kw),
+    )

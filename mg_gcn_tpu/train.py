@@ -49,18 +49,22 @@ def build_agg_pair(
                   kernel when tile occupancy < 0.5 (clustered graphs — see
                   ops/spmm_pattern_sparse.py), else the dense-pattern MXU
                   kernel when n²/8 fits the memory budget
-                  (ops/spmm_pattern.py); otherwise COO/XLA.
+                  (ops/spmm_pattern.py); weighted adjacencies (or binary
+                  ones too large for the pattern store) use the edge-tile
+                  MXU kernel (ops/spmm_edges.py); otherwise COO/XLA.
       "pattern" — force the dense-pattern kernel (raises if not applicable).
       "block"   — force the block-sparse pattern kernel.
+      "edge"    — force the edge-tile kernel (arbitrary edge values).
       "xla"     — COO gather/segment-sum compiled by XLA.
       "pallas"  — tiled-ELL Pallas kernel (interpret/debug only on v5e).
     """
     from .ops import spmm_pattern, spmm_pattern_sparse
 
-    if impl not in ("auto", "pattern", "block", "xla", "pallas"):
+    if impl not in ("auto", "pattern", "block", "edge", "xla", "pallas"):
         raise ValueError(
             f"unknown aggregation impl {impl!r} (expected auto/pattern/block/"
-            "xla/pallas; 'halo' is a distributed mode — see parallel.dist_halo)"
+            "edge/xla/pallas; 'halo' is a distributed mode — see "
+            "parallel.dist_halo)"
         )
     if impl == "auto":
         import jax
@@ -80,7 +84,11 @@ def build_agg_pair(
             elif dense_bytes <= PATTERN_MEM_BUDGET:
                 impl = "pattern"
             else:
-                impl = "xla"
+                impl = "edge"
+        elif on_tpu:
+            # weighted adjacency: the edge-tile kernel is the fast path
+            # (measured ~4x the XLA gather path at Reddit scale, PERF.md)
+            impl = "edge"
         else:
             impl = "xla"
     if impl == "block":
@@ -99,6 +107,17 @@ def build_agg_pair(
         return AggPair(fwd=fwd, bwd=bwd)
     a = graph if pre_normalized else sparse.normalize(graph, axis=True)
     a_t = sparse.transpose(a)
+    if impl == "edge":
+        from .ops.spmm_edges import edge_pair_from_csr_pair
+
+        # int8 is a pattern-kernel mode; the edge kernel carries real values
+        dtype = "bfloat16" if pattern_dtype == "int8" else pattern_dtype
+        try:
+            fwd, bwd = edge_pair_from_csr_pair(a_t, a, dtype=dtype)
+            return AggPair(fwd=fwd, bwd=bwd)
+        except ValueError:
+            # schedule too large for single-chip SMEM — COO/XLA still works
+            return AggPair(fwd=COOMat.from_csr(a_t), bwd=COOMat.from_csr(a))
     if impl == "pallas":
         from .ops.spmm_pallas import TiledMat
 

@@ -61,3 +61,43 @@ def test_golden_forward_backward():
             np.asarray(grads[i]["b"]), gb, rtol=2e-4, atol=1e-6,
             err_msg=f"layer {i} G_b",
         )
+
+
+@pytest.mark.skipif(
+    not os.path.isfile(os.path.join(GOLDEN, "eg0.bin")),
+    reason="exact-mode golden files missing",
+)
+def test_golden_exact_gradients():
+    """Exact (autodiff) mode vs torch-autograd golden dumps (eg*.bin)."""
+    from mg_gcn_tpu.models.gcn import loss_and_grad
+
+    ds = Dataset.load(GOLDEN)
+    sizes = (ds.num_features, 16, 16, ds.num_labels)
+    config = GCNConfig(sizes=sizes, parity=False)
+    params = []
+    for i in range(3):
+        params.append(
+            dict(
+                W=jnp.asarray(read_dense(os.path.join(GOLDEN, f"{2 * i}.bin"))),
+                b=jnp.asarray(read_dense(os.path.join(GOLDEN, f"{2 * i + 1}.bin"))),
+            )
+        )
+    a_hat = sparse.normalize(ds.graph, axis=True)
+    a_hat_T = sparse.transpose(a_hat)
+    pair = AggPair(COOMat.from_csr(a_hat_T, pad_to=8), COOMat.from_csr(a_hat, pad_to=8))
+    x = jnp.asarray(ds.features)
+    y = jnp.asarray(ds.labels.reshape(-1))
+    loss, acc, grads = loss_and_grad(params, pair, x, y, config)
+    expected_loss = float(open(os.path.join(GOLDEN, "loss.txt")).read())
+    np.testing.assert_allclose(float(loss), expected_loss, rtol=1e-5)
+    for i in range(3):
+        gw = read_dense(os.path.join(GOLDEN, f"eg{2 * i}.bin"))
+        gb = read_dense(os.path.join(GOLDEN, f"eg{2 * i + 1}.bin"))
+        np.testing.assert_allclose(
+            np.asarray(grads[i]["W"]), gw, rtol=2e-4, atol=1e-6,
+            err_msg=f"layer {i} exact G_W",
+        )
+        np.testing.assert_allclose(
+            np.asarray(grads[i]["b"]).reshape(gb.shape), gb, rtol=2e-4, atol=1e-6,
+            err_msg=f"layer {i} exact G_b",
+        )

@@ -49,6 +49,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--exact", action="store_true", help="exact autodiff gradients")
     p.add_argument("--mask-train", action="store_true", help="loss on train set only")
     p.add_argument(
+        "--residual",
+        action="store_true",
+        help="residual connections per layer (identity when in==out, else a "
+        "projection linear; gcn.hpp:432-434,453-456)",
+    )
+    p.add_argument(
+        "--optimizer",
+        default="adam",
+        choices=["adam", "sgd"],
+        help="sgd = the reference linear::update rule W=(1-wd)W-lr*G "
+        "(gcn.hpp:141-144); adam = gcn.hpp:146-172 (default)",
+    )
+    p.add_argument(
         "--impl",
         default="auto",
         choices=["auto", "pattern", "block", "edge", "xla", "pallas", "halo"],
@@ -177,6 +190,10 @@ def cmd_train(opts) -> int:
     sizes = [ds.num_features, *hidden, num_labels]
     if P > 1:
         sizes[-1] = (sizes[-1] + P - 1) // P * P  # main.cpp:135
+        if not opts.R:
+            # column parallel shards every width across P devices; round all
+            # widths up (features are zero-padded to match)
+            sizes = [(s + P - 1) // P * P for s in sizes]
 
     hparams = dict(
         lr=opts.lr, beta1=opts.b1, beta2=opts.b2, weight_decay=opts.wd, eps=opts.eps_adam
@@ -184,6 +201,16 @@ def cmd_train(opts) -> int:
     if opts.model == "sage":
         from .models.sage import SAGEConfig
 
+        if opts.residual:
+            print("--residual is a GCN option (--model gcn)", file=sys.stderr)
+            return 2
+        if opts.optimizer == "sgd" and opts.P > 1:
+            print(
+                "--optimizer sgd is not wired for distributed SAGE; use "
+                "adam or --model gcn",
+                file=sys.stderr,
+            )
+            return 2
         config = SAGEConfig(
             sizes=tuple(sizes),
             loss_mask="train" if opts.mask_train else "all",
@@ -192,6 +219,7 @@ def cmd_train(opts) -> int:
         config = GCNConfig(
             sizes=tuple(sizes),
             parity=not opts.exact,
+            residual=opts.residual,
             loss_mask="train" if opts.mask_train else "all",
         )
     timers = TimerRegistry()
@@ -216,14 +244,18 @@ def cmd_train(opts) -> int:
             rc = _train_single(opts, ds, config, hparams, params, opt_state, timers)
         else:
             if not opts.R:
-                print(
-                    "P > 1 requires -R 1 (row partition); the column path is "
-                    "not provided (disabled in the reference too, "
-                    "main.cpp:171-189)",
-                    file=sys.stderr,
-                )
-                return 2
-            if opts.model == "sage":
+                # -R 0: column/tensor-parallel path (the reference wires it
+                # at main.cpp:171-189 but leaves it commented out; here it
+                # works — parallel/dist_col.py)
+                if opts.model == "sage":
+                    print(
+                        "-R 0 (column parallel) supports --model gcn only; "
+                        "use -R 1 for SAGE",
+                        file=sys.stderr,
+                    )
+                    return 2
+                rc = _train_col(opts, ds, config, hparams, params, opt_state, timers)
+            elif opts.model == "sage":
                 rc = _train_dist_sage(opts, ds, config, hparams, params, opt_state, timers)
             else:
                 rc = _train_dist(opts, ds, config, hparams, params, opt_state, timers)
@@ -257,7 +289,9 @@ def _train_single(opts, ds, config, hparams, params, opt_state, timers):
         mask = (
             jnp.asarray(ds.sets.reshape(-1) == 0) if config.loss_mask == "train" else None
         )
-    step = make_train_step(config, hparams, model=opts.model)
+    step = make_train_step(
+        config, hparams, optimizer=opts.optimizer, model=opts.model
+    )
     for e in range(opts.E):
         t0 = time.perf_counter()
         params, opt_state, loss, acc = step(params, opt_state, pair, x, y, mask)
@@ -270,6 +304,62 @@ def _train_single(opts, ds, config, hparams, params, opt_state, timers):
         from .diagnostics import profile_epoch
 
         profile_epoch(params, pair, x, y, config, timers, prefix="phase_")
+    return params, opt_state, 0
+
+
+def _train_col(opts, ds, config, hparams, params, opt_state, timers):
+    """-R 0: column/tensor-parallel training (parallel/dist_col.py) — the
+    reference's dormant dist_linear/dist_softmax path (gcn.hpp:298-409,
+    main.cpp:171-189) made operational."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import sparse as host_sparse
+    from .ops.spmm import COOMat
+    from .parallel import dist_col
+
+    P = opts.P
+    if len(jax.devices()) < P:
+        print(f"only {len(jax.devices())} devices visible", file=sys.stderr)
+        return params, opt_state, 2
+    if opts.mask_train or opts.residual:
+        print(
+            "-R 0 (column parallel) does not support --mask-train/--residual; "
+            "use -R 1",
+            file=sys.stderr,
+        )
+        return params, opt_state, 2
+    if config.parity:
+        print(
+            "note: column path uses exact autodiff gradients (no parity "
+            "quirks to mirror; the reference column path predates them)",
+            file=sys.stderr,
+        )
+        from dataclasses import replace
+
+        config = replace(config, parity=False)
+    with timers.span("0_preprocess"):
+        a = host_sparse.normalize(ds.graph, axis=True)
+        a_t = host_sparse.transpose(a)
+        mat = COOMat.from_csr(a_t)
+        mesh = dist_col.make_col_mesh(P)
+        x_np = ds.features.astype(np.float32)
+        if x_np.shape[1] < config.sizes[0]:  # zero-pad to the rounded width
+            pad = config.sizes[0] - x_np.shape[1]
+            x_np = np.pad(x_np, ((0, 0), (0, pad)))
+        x = jnp.asarray(x_np)
+        y = jnp.asarray(ds.labels.reshape(-1).astype(np.int32))
+    step = dist_col.make_col_train_step(
+        config, mesh, ds.num_nodes, hparams, optimizer=opts.optimizer
+    )
+    for e in range(opts.E):
+        t0 = time.perf_counter()
+        params, opt_state, loss, acc = step(params, opt_state, mat, x, y)
+        loss, acc = float(loss), float(acc)
+        dt = time.perf_counter() - t0
+        timers.record(f"{e}_0_epoch", dt * 1e3)
+        print(f"{e} {loss} {acc} {dt}", file=sys.stderr)
+        _maybe_save(opts, e, params, opt_state)
     return params, opt_state, 0
 
 
@@ -382,6 +472,7 @@ def _train_dist(opts, ds, config, hparams, params, opt_state, timers):
         use_mask=mask is not None,
         pair_kind=pair_kind,
         pattern_dtype=opts.pattern_dtype,
+        optimizer=opts.optimizer,
     )
     for e in range(opts.E):
         t0 = time.perf_counter()
@@ -473,19 +564,40 @@ def cmd_infer(opts) -> int:
     sizes = [ds.num_features, *hidden, ds.num_labels]
     if opts.P > 1:
         sizes[-1] = (sizes[-1] + opts.P - 1) // opts.P * opts.P
-    config = GCNConfig(sizes=tuple(sizes))
+    config = GCNConfig(sizes=tuple(sizes), residual=opts.residual)
 
     from .checkpoint import load_checkpoint
     from .train import build_agg_pair
 
     template = init_params(config)
     params, _ = load_checkpoint(opts.load, (template, adam.adam_init(template)))
-    pair = build_agg_pair(ds.graph, impl=opts.impl, pattern_dtype=opts.pattern_dtype)
     x = jnp.asarray(ds.features, jnp.float32)
-    t0 = time.perf_counter()
-    logits = jax.jit(lambda p, pr, x: forward(p, pr, x, config))(params, pair, x)
-    preds = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
-    dt = time.perf_counter() - t0
+    if opts.P > 1 and opts.R:
+        # distributed (row-sharded) inference
+        from . import sparse as host_sparse
+        from .parallel import dist
+
+        if ds.num_nodes % opts.P:
+            print(
+                f"node count {ds.num_nodes} not divisible by P={opts.P}",
+                file=sys.stderr,
+            )
+            return 2
+        a = host_sparse.normalize(ds.graph, axis=True)
+        a_t = host_sparse.transpose(a)
+        mesh = dist.make_mesh(opts.P)
+        dpair = dist.DistAggPair.from_csr_pair(a_t, a, opts.P)
+        infer = dist.make_dist_infer(config, mesh)
+        t0 = time.perf_counter()
+        logits = infer(params, dpair, x)
+        preds = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+        dt = time.perf_counter() - t0
+    else:
+        pair = build_agg_pair(ds.graph, impl=opts.impl, pattern_dtype=opts.pattern_dtype)
+        t0 = time.perf_counter()
+        logits = jax.jit(lambda p, pr, x: forward(p, pr, x, config))(params, pair, x)
+        preds = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+        dt = time.perf_counter() - t0
     y = ds.labels.reshape(-1)
     acc = float((preds == y).mean())
     print(f"inference: n={ds.num_nodes} acc={acc} seconds={dt}", file=sys.stderr)

@@ -644,6 +644,7 @@ def make_dist_train_step(
     pair_kind: str = "coo",
     pattern_dtype: str = "bfloat16",
     interpret: bool = False,
+    optimizer: str = "adam",
 ):
     """Build the jitted distributed train step.
 
@@ -733,7 +734,11 @@ def make_dist_train_step(
         loss, acc, grads = lag(
             params, agg_fwd, agg_bwd, x, y, config, n_total, mask
         )
-        params, opt_state = adam.adam_update(params, grads, opt_state, **hp)
+        if optimizer == "sgd":
+            # linear::update (gcn.hpp:141-144); opt_state rides unchanged
+            params = adam.sgd_update(params, grads, hp["lr"], hp["weight_decay"])
+        else:
+            params, opt_state = adam.adam_update(params, grads, opt_state, **hp)
         return params, opt_state, loss, acc
 
     smapped = shard_map(
@@ -761,6 +766,54 @@ def make_dist_train_step(
         if use_mask:
             args = args + (mask,)
         return smapped(*args)
+
+    return jax.jit(wrapper)
+
+
+def make_dist_infer(config: GCNConfig, mesh: Mesh, strategy: str = "ring"):
+    """Row-sharded distributed forward pass (inference/serving).
+
+    (params, pair, x) -> logits, with x/logits global arrays sharded over
+    the graph axis and ``pair`` a COO :class:`DistAggPair` — the
+    distributed analogue of gcn::operator() (gcn.hpp:966-969).
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    parts = mesh.devices.size
+    repl = P()
+    shard_rows = P(GRAPH_AXIS)
+    mat_spec = dict(rows=shard_rows, cols=shard_rows, vals=shard_rows)
+    params_spec = [
+        {k: repl for k in ("W", "b", "Wres", "bres") if _layer_has(config, i, k)}
+        for i in range(config.num_layers)
+    ]
+
+    def fwd(params, fwd_mat, x):
+        f = dict(
+            rows=fwd_mat["rows"][0], cols=fwd_mat["cols"][0], vals=fwd_mat["vals"][0]
+        )
+        agg = lambda h: dist_aggregate(f, h, parts, strategy)
+        h = x
+        for i, layer in enumerate(params):
+            h, _ = _dist_layer_forward(
+                layer, config.layer_meta(i), agg, h, config.leaky_slope
+            )
+        return h
+
+    smapped = shard_map(
+        fwd,
+        mesh=mesh,
+        in_specs=(params_spec, mat_spec, shard_rows),
+        out_specs=shard_rows,
+        check_vma=False,
+    )
+
+    def wrapper(params, pair, x):
+        fwd_mat = dict(rows=pair.fwd.rows, cols=pair.fwd.cols, vals=pair.fwd.vals)
+        return smapped(params, fwd_mat, x)
 
     return jax.jit(wrapper)
 

@@ -126,6 +126,7 @@ def make_col_train_step(
     mesh: Mesh,
     n_total: int,
     hparams: dict | None = None,
+    optimizer: str = "adam",
 ):
     """Jitted tensor-parallel train step.
 
@@ -171,8 +172,14 @@ def make_col_train_step(
             return col_loss_fn(p, mat, x, y, config, n_total, parts)
 
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        # grads of sharded params are already local shards; adam is local
-        params_new, opt_new = adam.adam_update(params, grads, opt_state, **hp)
+        # grads of sharded params are already local shards; updates are local
+        if optimizer == "sgd":
+            params_new, opt_new = (
+                adam.sgd_update(params, grads, hp["lr"], hp["weight_decay"]),
+                opt_state,
+            )
+        else:
+            params_new, opt_new = adam.adam_update(params, grads, opt_state, **hp)
         return params_new, opt_new, loss, acc
 
     from ..ops.spmm import COOMat

@@ -71,6 +71,68 @@ def test_cli_train_dist_sage(toy, tmp_path):
     assert len(lines) >= 2
 
 
+def test_cli_train_col_partition(toy, tmp_path):
+    # -R 0: the column/tensor-parallel path (reference main.cpp:171-189,
+    # commented out there; operational here via parallel/dist_col.py)
+    r = run_cli(["-P", "4", "-R", "0", "-E", "2", "train", toy, "1", "8"], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    lines = [l for l in r.stderr.splitlines() if l and l[0].isdigit()]
+    assert len(lines) >= 2
+
+
+def test_cli_residual(toy, tmp_path):
+    r = run_cli(
+        ["-E", "2", "--residual", "--exact", "train", toy, "2", "8", "12"],
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    lines = [l for l in r.stderr.splitlines() if l and l[0].isdigit()]
+    assert len(lines) >= 2
+
+
+def test_cli_residual_dist(toy, tmp_path):
+    r = run_cli(
+        ["-P", "4", "-R", "1", "-E", "2", "--residual", "train", toy, "1", "8"],
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+
+
+def test_cli_sgd_optimizer(toy, tmp_path):
+    r = run_cli(
+        ["-E", "3", "--optimizer", "sgd", "train", toy, "1", "8"], cwd=tmp_path
+    )
+    assert r.returncode == 0, r.stderr
+    lines = [l for l in r.stderr.splitlines() if l and l[0].isdigit()]
+    losses = [float(l.split()[1]) for l in lines]
+    assert losses[-1] < losses[0]
+
+
+def test_cli_sgd_dist(toy, tmp_path):
+    r = run_cli(
+        ["-P", "4", "-R", "1", "-E", "2", "--optimizer", "sgd", "train", toy, "1", "8"],
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+
+
+def test_cli_infer_dist(toy, tmp_path):
+    # the last width rounds up to a multiple of P (main.cpp:135), so the
+    # checkpoint must come from a run with the same P
+    ck = tmp_path / "m.npz"
+    r = run_cli(
+        ["-P", "4", "-R", "1", "-E", "1", "--save", str(ck), "train", toy, "1", "8"],
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    r = run_cli(
+        ["-P", "4", "-R", "1", "--load", str(ck), "infer", toy, "1", "8"],
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "inference:" in r.stderr
+
+
 def test_cli_sage_rejects_block_impl(toy, tmp_path):
     r = run_cli(
         ["--model", "sage", "--impl", "block", "-E", "1", "train", toy, "1", "8"],
@@ -80,10 +142,14 @@ def test_cli_sage_rejects_block_impl(toy, tmp_path):
     assert "sage" in r.stderr and "block" in r.stderr
 
 
-def test_cli_dist_requires_R(toy, tmp_path):
-    r = run_cli(["-P", "4", "-E", "1", "train", toy, "1", "8"], cwd=tmp_path)
+def test_cli_col_partition_rejects_sage(toy, tmp_path):
+    # -R 0 (column parallel) is wired for GCN; SAGE still needs -R 1
+    r = run_cli(
+        ["-P", "4", "-E", "1", "--model", "sage", "train", toy, "1", "8"],
+        cwd=tmp_path,
+    )
     assert r.returncode == 2
-    assert "row partition" in r.stderr
+    assert "-R 1" in r.stderr
 
 
 def test_cli_checkpoint_roundtrip(toy, tmp_path):

@@ -50,11 +50,13 @@ def test_load_row_sharded_matches_read(tmp_path):
 
 
 def test_initialize_noop_single_process():
-    # single-process CPU: initialize must not break an existing runtime
+    # single-process CPU: initialize must not break an existing runtime.
+    # (The real initialize + multi-process shard/replicate branches are
+    # exercised end-to-end by tests/test_multiprocess.py in two fresh OS
+    # processes; in-session the backend is already up, so a RuntimeError
+    # about call order is the documented behavior.)
     try:
         multihost.initialize()
     except RuntimeError as e:
-        # acceptable here: the test session already initialized the backend;
-        # the CLI calls initialize() before any device-touching JAX call
         assert "before any JAX calls" in str(e) or "already initialized" in str(e)
     assert jax.process_count() == 1

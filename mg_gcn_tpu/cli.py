@@ -77,6 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
         "throughput with 8-bit-quantized activations)",
     )
     p.add_argument(
+        "--mmap",
+        action="store_true",
+        help="memory-map features.bin and stream each device's row shard "
+        "straight from disk (papers100M-scale loading; halo/coo pairs)",
+    )
+    p.add_argument(
         "--multihost",
         action="store_true",
         help="form a multi-process JAX runtime (jax.distributed.initialize) "
@@ -180,7 +186,7 @@ def cmd_train(opts) -> int:
         print(f"expected {num_sizes} layer sizes", file=sys.stderr)
         return 2
 
-    ds = Dataset.load(data_dir)
+    ds = Dataset.load(data_dir, mmap_features=opts.mmap)
     print(f"{ds.num_nodes} {ds.graph.nnz}", file=sys.stderr)
     num_labels = ds.num_labels
     print(f"num_labels = {num_labels}", file=sys.stderr)
@@ -301,9 +307,18 @@ def _train_single(opts, ds, config, hparams, params, opt_state, timers):
         print(f"{e} {loss} {acc} {dt}", file=sys.stderr)
         _maybe_save(opts, e, params, opt_state)
     if opts.time_phases and opts.model == "gcn":
-        from .diagnostics import profile_epoch
+        from .diagnostics import profile_epoch, profile_fused_step
 
-        profile_epoch(params, pair, x, y, config, timers, prefix="phase_")
+        # fused-step trace first (measures the production step, reference
+        # epoch_gpu_phase scheme); un-fused replay only if the backend
+        # emitted no device-plane trace
+        before = len(timers._entries)
+        _, params, opt_state = profile_fused_step(
+            step, (params, opt_state, pair, x, y, mask), timers, prefix="phase_"
+        )
+        if len(timers._entries) == before:
+            print("no device trace; falling back to un-fused phase replay", file=sys.stderr)
+            profile_epoch(params, pair, x, y, config, timers, prefix="phase_")
     return params, opt_state, 0
 
 
@@ -447,7 +462,12 @@ def _train_dist(opts, ds, config, hparams, params, opt_state, timers):
             from .parallel import multihost
 
             dpair = multihost.tree_shard_put(dpair, mesh, dpair.shardings(mesh))
-            x = multihost.shard_put(ds.features.astype(np.float32), mesh)
+            feats = ds.features
+            if feats.dtype != np.float32:
+                feats = feats.astype(np.float32)
+            # stream=True pages each device shard straight from the memmap
+            # (--mmap): the full feature matrix never lands in host RAM
+            x = multihost.shard_put(feats, mesh, stream=isinstance(feats, np.memmap))
             y = multihost.shard_put(ds.labels.reshape(-1).astype(np.int32), mesh)
             mask = multihost.shard_put(np_mask, mesh) if np_mask is not None else None
     if strategy == "fused" and pair_kind != "pattern":

@@ -1,13 +1,20 @@
 """Per-phase device timing breakdown.
 
 The reference instruments every op with CUDA-event pairs and dumps
-``epoch_gpu_phase`` timings to CSV (matrix.hpp:107-157, main.cpp:111). Under
-XLA a fused jitted step has no host-visible phase boundaries, so this module
-provides the equivalent as a *diagnostic mode*: each phase (per-layer linear,
-aggregation, activation, loss, backward pieces, optimizer) is compiled as a
-separate jitted function and timed with forced completion, giving a faithful
-per-phase cost profile at the price of lost fusion across phases. For
-production-quality timelines use ``--profile`` (jax.profiler traces).
+``epoch_gpu_phase`` timings to CSV (matrix.hpp:107-157, main.cpp:111). Two
+equivalents here:
+
+* :func:`profile_fused_step` (the ``--time-phases`` default): runs the
+  *production fused* train step under a ``jax.profiler`` trace and reduces
+  the device plane's per-HLO-op times into the reference's timer keys via
+  the ``jax.named_scope`` annotations woven through models/gcn.py — the
+  true analogue of the reference's in-path CUDA events (what's measured is
+  the real step, fusion intact; ops XLA merged across scope boundaries are
+  credited to the surviving op's scope).
+* :func:`profile_epoch` (fallback): each phase compiled as a separate
+  jitted function and timed with forced completion — faithful per-phase
+  costs at the price of lost fusion across phases (used when the backend
+  emits no device-plane trace).
 """
 
 from __future__ import annotations
@@ -23,6 +30,49 @@ from .ops import elementwise as ew
 from .ops.softmax_xent import softmax_xent
 from .ops.spmm import AggPair, spmm
 from .timers import TimerRegistry
+
+
+def profile_fused_step(
+    step_fn,
+    args: tuple,
+    timers: TimerRegistry | None = None,
+    prefix: str = "phase_",
+    epochs: int = 2,
+    trace_dir: str | None = None,
+):
+    """Trace ``epochs`` calls of the real (fused) train step and record
+    per-phase device milliseconds (averaged per epoch) under the reference
+    timer keys. ``step_fn(*args)`` must return updated (params, opt_state,
+    ...) whose first two outputs can be fed back (the standard step
+    signature; donation-safe — the updated pytrees are returned). Returns
+    ``(timers, params, opt_state)``; no phase entries are added if the
+    backend produced no device-plane trace (caller may fall back to
+    :func:`profile_epoch`).
+    """
+    import tempfile
+
+    from .xplane import device_time_by_scope
+
+    timers = timers or TimerRegistry()
+    own_dir = trace_dir is None
+    trace_dir = trace_dir or tempfile.mkdtemp(prefix="mggcn_phases_")
+    params, opt_state, *rest_args = args
+    out = step_fn(params, opt_state, *rest_args)  # compile outside the trace
+    params, opt_state = out[0], out[1]
+    _ = jnp.sum(jax.tree.leaves(out[2])[0]).item()  # force
+    with jax.profiler.trace(trace_dir):
+        for _e in range(epochs):
+            out = step_fn(params, opt_state, *rest_args)
+            params, opt_state = out[0], out[1]
+            _ = jnp.sum(jax.tree.leaves(out[2])[0]).item()
+    totals = device_time_by_scope(trace_dir)
+    if own_dir:
+        import shutil
+
+        shutil.rmtree(trace_dir, ignore_errors=True)
+    for name, ms in sorted(totals.items()):
+        timers.record(prefix + name, ms / epochs)
+    return timers, params, opt_state
 
 
 def _timed(timers: TimerRegistry, name: str, fn, *args):

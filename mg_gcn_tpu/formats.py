@@ -148,12 +148,27 @@ def write_pigo_csr(path: str | os.PathLike, csr: CSRData) -> None:
         csr.data.astype(np.float32).tofile(f)
 
 
-def read_dense(path: str | os.PathLike, dtype=np.float32, ndim: int = 2) -> np.ndarray:
-    """Read the raw dense format (reference matrix.hpp:486-492)."""
+def read_dense(
+    path: str | os.PathLike, dtype=np.float32, ndim: int = 2, mmap: bool = False
+) -> np.ndarray:
+    """Read the raw dense format (reference matrix.hpp:486-492).
+
+    ``mmap=True`` returns a read-only ``np.memmap`` view of the payload —
+    the papers100M-scale loading mode: rows are paged in on demand (pair
+    with ``multihost.shard_put(..., stream=True)`` so each device shard
+    slices the file directly and the full matrix never materializes).
+    """
     with open(path, "rb") as f:
         shape = np.fromfile(f, dtype=np.uint32, count=ndim).astype(np.int64)
-        payload = np.fromfile(f, dtype=dtype)
     expected = int(np.prod(shape))
+    if mmap:
+        payload = np.memmap(
+            path, dtype=dtype, mode="r", offset=4 * ndim, shape=(expected,)
+        )
+    else:
+        with open(path, "rb") as f:
+            f.seek(4 * ndim)
+            payload = np.fromfile(f, dtype=dtype)
     if payload.shape[0] != expected:
         raise ValueError(
             f"{path}: payload has {payload.shape[0]} elements, shape {tuple(shape)} "
@@ -198,11 +213,13 @@ class Dataset:
         return int(1 + self.labels.max())
 
     @staticmethod
-    def load(directory: str | os.PathLike) -> "Dataset":
+    def load(directory: str | os.PathLike, mmap_features: bool = False) -> "Dataset":
         d = os.fspath(directory)
         return Dataset(
             graph=read_pigo_csr(os.path.join(d, "graph.bin")),
-            features=read_dense(os.path.join(d, "features.bin"), np.float32),
+            features=read_dense(
+                os.path.join(d, "features.bin"), np.float32, mmap=mmap_features
+            ),
             labels=read_dense(os.path.join(d, "labels.bin"), np.int32),
             sets=read_dense(os.path.join(d, "sets.bin"), np.int32),
         )

@@ -107,21 +107,35 @@ def init_params(config: GCNConfig, key: jax.Array | None = None) -> list[dict]:
     return params
 
 
-def _layer_forward(layer: dict, meta: dict, pair: AggPair, h: jax.Array, slope: float):
-    """One GCN layer forward; returns (output, cache-for-backward)."""
+def _layer_forward(
+    layer: dict, meta: dict, pair: AggPair, h: jax.Array, slope: float, tag: str = "L"
+):
+    """One GCN layer forward; returns (output, cache-for-backward).
+
+    ``tag`` labels the phase scopes (jax.named_scope) with the reference's
+    timer-key names (gcn.hpp register_timer sites) so ``--time-phases`` can
+    attribute device time inside the *fused* step from profiler traces.
+    """
     w, b = layer["W"], layer["b"]
     if meta["lin_first"]:
-        hw = h @ w + b  # bias precedes aggregation, gcn.hpp:116-123
-        ahw = aggregate(pair, hw)
+        with jax.named_scope(f"{tag}_0_matmul-gemm"):
+            hw = h @ w + b  # bias precedes aggregation, gcn.hpp:116-123
+        with jax.named_scope(f"{tag}_0_matmul-spmm"):
+            ahw = aggregate(pair, hw)
     else:
-        hw = aggregate(pair, h)
-        ahw = hw @ w + b
+        with jax.named_scope(f"{tag}_0_matmul-spmm"):
+            hw = aggregate(pair, h)
+        with jax.named_scope(f"{tag}_0_matmul-gemm"):
+            ahw = hw @ w + b
     if meta["activation"]:
-        ahw = ew.leaky_relu(ahw, slope)
+        with jax.named_scope(f"{tag}_0_activation"):
+            ahw = ew.leaky_relu(ahw, slope)
     if meta["res_proj"]:
-        ahw = ahw + h @ layer["Wres"] + layer["bres"]
+        with jax.named_scope(f"{tag}_0_residual"):
+            ahw = ahw + h @ layer["Wres"] + layer["bres"]
     elif meta["res_identity"]:
-        ahw = ahw + h
+        with jax.named_scope(f"{tag}_0_residual"):
+            ahw = ahw + h
     # "post" doubles as the activation-sign source in the parity backward:
     # the reference reuses the in-place-overwritten AHW buffer (post
     # activation *and* residual) for leaky_relu_backward (gcn.hpp:465).
@@ -140,7 +154,9 @@ def forward(
     h = x
     caches = []
     for i, layer in enumerate(params):
-        h, cache = _layer_forward(layer, config.layer_meta(i), pair, h, config.leaky_slope)
+        h, cache = _layer_forward(
+            layer, config.layer_meta(i), pair, h, config.leaky_slope, tag=str(i)
+        )
         caches.append(cache)
     if return_caches:
         return h, caches
@@ -169,6 +185,7 @@ def _layer_backward(
     g: jax.Array,
     slope: float,
     need_input_grad: bool,
+    tag: str = "L",
 ):
     """Reference-parity manual backward for one layer (gcn.hpp:460-489)."""
     grads: dict[str, jax.Array] = {}
@@ -177,28 +194,34 @@ def _layer_backward(
         # The reference passes the (in-place overwritten) post-activation
         # buffer; sign(post) == sign(pre) for leaky relu so this is exact
         # whenever no residual was added on top (gcn.hpp:465).
-        t = ew.leaky_relu_grad(cache["post"], g, slope)
+        with jax.named_scope(f"{tag}_1_activation"):
+            t = ew.leaky_relu_grad(cache["post"], g, slope)
     w = layer["W"]
     if meta["lin_first"]:
-        g_hw = spmm(pair.bwd, t) if meta["backward_spmm"] else t
-        grads["b"] = jnp.sum(g_hw, axis=0, keepdims=True)
-        grads["W"] = cache["h"].T @ g_hw
-        g_out = g_hw @ w.T if need_input_grad else None
+        with jax.named_scope(f"{tag}_1_matmul-spmm"):
+            g_hw = spmm(pair.bwd, t) if meta["backward_spmm"] else t
+        with jax.named_scope(f"{tag}_1_matmul-gemm"):
+            grads["b"] = jnp.sum(g_hw, axis=0, keepdims=True)
+            grads["W"] = cache["h"].T @ g_hw
+            g_out = g_hw @ w.T if need_input_grad else None
     else:
-        grads["b"] = jnp.sum(t, axis=0, keepdims=True)
-        # Deliberate reference deviation: uses the layer input, not ÂH
-        # (lin.setX(H), gcn.hpp:477) — the shared HW buffer is long gone.
-        grads["W"] = cache["h"].T @ t
+        with jax.named_scope(f"{tag}_1_matmul-gemm"):
+            grads["b"] = jnp.sum(t, axis=0, keepdims=True)
+            # Deliberate reference deviation: uses the layer input, not ÂH
+            # (lin.setX(H), gcn.hpp:477) — the shared HW buffer is long gone.
+            grads["W"] = cache["h"].T @ t
+            g_hw = t @ w.T if need_input_grad else None
         if need_input_grad:
-            g_hw = t @ w.T
-            g_out = spmm(pair.bwd, g_hw) if meta["backward_spmm"] else g_hw
+            with jax.named_scope(f"{tag}_1_matmul-spmm"):
+                g_out = spmm(pair.bwd, g_hw) if meta["backward_spmm"] else g_hw
         else:
             g_out = None
     if meta["res_proj"]:
-        grads["bres"] = jnp.sum(g, axis=0, keepdims=True)
-        grads["Wres"] = cache["h"].T @ g
-        if g_out is not None:
-            g_out = g_out + g @ layer["Wres"].T
+        with jax.named_scope(f"{tag}_1_residual"):
+            grads["bres"] = jnp.sum(g, axis=0, keepdims=True)
+            grads["Wres"] = cache["h"].T @ g
+            if g_out is not None:
+                g_out = g_out + g @ layer["Wres"].T
     elif meta["res_identity"] and g_out is not None:
         g_out = g_out + g
     return grads, g_out
@@ -219,7 +242,8 @@ def loss_and_grad_parity(
     for the first layer, gcn.hpp:954 via backward_spmm flag).
     """
     logits, caches = forward(params, pair, x, config, return_caches=True)
-    out = softmax_xent(logits, y, mask)
+    with jax.named_scope(f"{len(params)}_loss-layer"):
+        out = softmax_xent(logits, y, mask)
     g = out.grad
     grads: list[dict] = [None] * len(params)
     for i in reversed(range(len(params))):
@@ -231,6 +255,7 @@ def loss_and_grad_parity(
             g,
             config.leaky_slope,
             need_input_grad=i > 0,
+            tag=str(i),
         )
     return out.loss, out.acc, grads
 

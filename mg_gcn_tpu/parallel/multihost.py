@@ -67,16 +67,23 @@ def replicate_put(tree, mesh: Mesh):
     )
 
 
-def shard_put(arr, mesh: Mesh, spec: P | None = None) -> jax.Array:
+def shard_put(arr, mesh: Mesh, spec: P | None = None, stream: bool = False) -> jax.Array:
     """Place ``arr`` on ``mesh`` with ``spec`` (default: row-sharded over
-    the graph axis), materializing only process-local shards."""
+    the graph axis), materializing only process-local shards.
+
+    ``stream=True`` forces per-shard slicing even single-process — with a
+    ``np.memmap`` source each device shard is paged straight from disk and
+    the full matrix never materializes in host RAM (papers100M-scale
+    loading; see formats.read_dense(mmap=True))."""
     if spec is None:
         spec = P(GRAPH_AXIS)
     sharding = NamedSharding(mesh, spec)
-    if jax.process_count() == 1:
+    if jax.process_count() == 1 and not stream:
         return jax.device_put(arr, sharding)
     shape = np.shape(arr)
-    return jax.make_array_from_callback(shape, sharding, lambda idx: arr[idx])
+    return jax.make_array_from_callback(
+        shape, sharding, lambda idx: np.ascontiguousarray(arr[idx])
+    )
 
 
 def tree_shard_put(tree, mesh: Mesh, shardings) -> object:

@@ -153,12 +153,13 @@ def make_train_step(
 
     def step(params, opt_state, pair, x, y, mask):
         loss, acc, grads = lag(params, pair, x, y, config, mask)
-        if optimizer == "adam":
-            params, opt_state = adam.adam_update(params, grads, opt_state, **hp)
-        elif optimizer == "sgd":
-            params = adam.sgd_update(params, grads, hp["lr"], hp["weight_decay"])
-        else:
-            raise ValueError(f"unknown optimizer {optimizer!r}")
+        with jax.named_scope("adam-update"):
+            if optimizer == "adam":
+                params, opt_state = adam.adam_update(params, grads, opt_state, **hp)
+            elif optimizer == "sgd":
+                params = adam.sgd_update(params, grads, hp["lr"], hp["weight_decay"])
+            else:
+                raise ValueError(f"unknown optimizer {optimizer!r}")
         return params, opt_state, loss, acc
 
     donate_argnums = (0, 1) if donate else ()

@@ -297,7 +297,7 @@ def main() -> None:
             popt = adam.adam_init(pparams)
             pstep = make_train_step(pconfig)
             ptimes = []
-            for e in range(3):
+            for e in range(2):  # warmup + 1 (the XLA path is ~1 min/epoch)
                 s = time.perf_counter()
                 pparams, popt, loss, acc = pstep(pparams, popt, ppair, px, py, None)
                 loss = float(loss)
@@ -313,17 +313,25 @@ def main() -> None:
                 products_nnz=pg.nnz,
             )
 
-            # config 5: PageRank power iteration on the same graph
+        except Exception as exc:
+            print(f"products aux skipped: {exc}", file=sys.stderr)
+
+    # config 5: PageRank power iteration (pagerank.hpp parity). At products
+    # scale the d=1 XLA SpMV path measured 564 s one-off (PERF.md) — too
+    # slow to re-run per bench; the recorded aux runs at Reddit scale on
+    # the pattern SpMV fast path (the binary headline graph).
+    if not os.environ.get("MG_GCN_BENCH_SKIP_PAGERANK"):
+        try:
             from mg_gcn_tpu.models.pagerank import pagerank
 
             t0 = time.perf_counter()
-            pr = pagerank(pg, damping=0.85, eps=1e-4)
+            pr = pagerank(graph, damping=0.85, eps=1e-4)
             float(pr[0])
             pr_s = time.perf_counter() - t0
-            products_meta["pagerank_products_seconds"] = pr_s
-            print(f"[pagerank products] {pr_s:.2f}s", file=sys.stderr)
+            products_meta["pagerank_reddit_seconds"] = pr_s
+            print(f"[pagerank reddit-scale] {pr_s:.2f}s", file=sys.stderr)
         except Exception as exc:
-            print(f"products aux skipped: {exc}", file=sys.stderr)
+            print(f"pagerank aux skipped: {exc}", file=sys.stderr)
 
     value = SPMM_PER_EPOCH * nnz / epoch_s
     out = {

@@ -393,7 +393,8 @@ def _train_dist(opts, ds, config, hparams, params, opt_state, timers):
         )
         return params, opt_state, 2
     strategy = "all_gather" if opts.S else "ring"
-    if opts.exchange != "auto":
+    exchange_auto = opts.exchange == "auto"
+    if not exchange_auto:
         strategy = opts.exchange
     with timers.span("0_preprocess"):
         n = ds.num_nodes
@@ -432,6 +433,14 @@ def _train_dist(opts, ds, config, hparams, params, opt_state, timers):
             y = multihost.shard_put(y_np, mesh)
             mask = multihost.shard_put(np_mask, mesh)
             pair_kind = "pattern"
+            if exchange_auto and not opts.S and not opts.N and P > 1:
+                # default to the fused RDMA-ring kernel for eligible
+                # pattern runs: one pallas kernel per SpMM runs the whole
+                # P-round schedule with inter-chip DMAs overlapping MXU
+                # work, bf16 on the wire (ops/spmm_pattern_ring.py);
+                # -N pins the XLA ppermute ring, -S all_gather
+                strategy = "fused"
+                print("exchange: fused RDMA ring (auto)", file=sys.stderr)
         else:
             if n % P:
                 print(

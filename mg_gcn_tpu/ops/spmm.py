@@ -82,16 +82,55 @@ class COOMat:
         )
 
 
+# cap on the materialized (edges, d) gather: XLA allocates it whole, so big
+# graphs must stream edge chunks through a scan (v5e HBM is 16 GB)
+GATHER_BYTES_CAP = 2 << 30
+
+
 def _spmm_coo_xla(mat: COOMat, B: jax.Array) -> jax.Array:
-    """C[i, :] = sum over edges (i, j, v) of v * B[j, :] via gather+segment-sum."""
-    gathered = B[mat.cols] * mat.vals[:, None].astype(B.dtype)
-    return jax.ops.segment_sum(
-        gathered,
-        mat.rows,
-        num_segments=mat.n_rows,
-        indices_are_sorted=True,
-        unique_indices=False,
+    """C[i, :] = sum over edges (i, j, v) of v * B[j, :] via gather+segment-sum.
+
+    When the gathered (nnz, d) intermediate would exceed GATHER_BYTES_CAP
+    (XLA materializes it), edges stream through a lax.scan in fixed chunks —
+    O(chunk * d) peak memory instead of O(nnz * d)."""
+    d = B.shape[1]
+    gather_bytes = mat.nnz_pad * d * B.dtype.itemsize
+    if gather_bytes <= GATHER_BYTES_CAP:
+        gathered = B[mat.cols] * mat.vals[:, None].astype(B.dtype)
+        return jax.ops.segment_sum(
+            gathered,
+            mat.rows,
+            num_segments=mat.n_rows,
+            indices_are_sorted=True,
+            unique_indices=False,
+        )
+    n_chunks = -(-gather_bytes // GATHER_BYTES_CAP)
+    chunk = -(-mat.nnz_pad // n_chunks)
+    pad = n_chunks * chunk - mat.nnz_pad
+    rows = jnp.concatenate([mat.rows, jnp.full(pad, mat.n_rows - 1, mat.rows.dtype)])
+    cols = jnp.concatenate([mat.cols, jnp.zeros(pad, mat.cols.dtype)])
+    vals = jnp.concatenate([mat.vals, jnp.zeros(pad, mat.vals.dtype)])
+
+    def body(acc, part):
+        r, c, v = part
+        g = B[c] * v[:, None].astype(B.dtype)
+        # chunk rows span a contiguous range but not segment-aligned; a
+        # full-width segment_sum per chunk keeps it simple and exact
+        return acc + jax.ops.segment_sum(
+            g, r, num_segments=mat.n_rows, indices_are_sorted=True
+        ), None
+
+    acc0 = jnp.zeros((mat.n_rows, d), B.dtype)
+    acc, _ = jax.lax.scan(
+        body,
+        acc0,
+        (
+            rows.reshape(n_chunks, chunk),
+            cols.reshape(n_chunks, chunk),
+            vals.reshape(n_chunks, chunk),
+        ),
     )
+    return acc
 
 
 def spmm(mat, B: jax.Array, impl: str | None = None) -> jax.Array:

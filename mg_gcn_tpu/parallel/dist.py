@@ -352,16 +352,6 @@ def dist_aggregate_pattern(
         # no remote peer: the RDMA kernel would leave its round-0 send
         # semaphore unwaited; the ring path with parts=1 is purely local
         strategy = "ring"
-    if strategy == "fused" and d_pad > sp.D_MAX:
-        # the fused RDMA-ring kernel carries the full (d_pad, m_loc) operand
-        # in VMEM and has no feature chunking; beyond D_MAX fall back to the
-        # per-round kernels, which chunk at D_MAX (traced once per shape)
-        import warnings
-
-        warnings.warn(
-            f"fused exchange supports d <= {sp.D_MAX}; falling back to ring"
-        )
-        strategy = "ring"
     perm = _ring_perm(parts)
     int8_mode = dtype_name == "int8"
     qscale = None
@@ -404,8 +394,21 @@ def dist_aggregate_pattern(
         if strategy == "fused":
             from ..ops import spmm_pattern_ring as ring
 
-            cf = ring.ring_pattern_fwd(
-                pack_local, bf0, parts, GRAPH_AXIS, interpret=interpret
+            # VMEM bounds the per-call feature width at D_MAX: wider
+            # operands circulate the ring once per D_MAX chunk (same total
+            # ICI bytes; each chunk is a full fused schedule)
+            cf = jnp.concatenate(
+                [
+                    ring.ring_pattern_fwd(
+                        pack_local,
+                        bf0[i : i + sp.D_MAX],
+                        parts,
+                        GRAPH_AXIS,
+                        interpret=interpret,
+                    )
+                    for i in range(0, d_pad, sp.D_MAX)
+                ],
+                axis=0,
             )
         elif strategy == "all_gather":
             cf = jnp.zeros((d_pad, m_loc), sp._acc_dtype(op_dt))
@@ -436,8 +439,18 @@ def dist_aggregate_pattern(
     if strategy == "fused":
         from ..ops import spmm_pattern_ring as ring
 
-        acc = ring.ring_pattern_bwd(
-            pack_local, g0, parts, GRAPH_AXIS, interpret=interpret
+        acc = jnp.concatenate(
+            [
+                ring.ring_pattern_bwd(
+                    pack_local,
+                    g0[:, i : i + sp.D_MAX],
+                    parts,
+                    GRAPH_AXIS,
+                    interpret=interpret,
+                )
+                for i in range(0, d_pad, sp.D_MAX)
+            ],
+            axis=1,
         )
     elif strategy == "all_gather":
         acc = jnp.zeros((m_loc, d_pad), sp._acc_dtype(op_dt))

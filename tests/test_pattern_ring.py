@@ -178,3 +178,31 @@ def test_fused_train_step_matches_ring(mesh2):
             np.testing.assert_allclose(
                 np.asarray(lf[k]), np.asarray(lr[k]), rtol=2e-4, atol=2e-6
             )
+
+
+# P=8 interpret runs deadlock in the pallas TPU interpreter itself (all
+# io_callback threads block inside _allocate_buffer while ring peers hold
+# the pool at the entry barrier — an interpreter thread-pool limit, probed
+# 2026-08-19). P=4 exercises every ring branch (receive, multi-hop forward
+# at s < parts-1, drain), so coverage caps there until the interpreter
+# scales.
+
+
+@pytest.mark.parametrize("orientation", ["PT", "P"])
+def test_fused_ring_wide_features_chunked(mesh2, orientation):
+    """d > D_MAX must run the fused kernel in feature chunks — NOT silently
+    fall back to the ppermute ring (VERDICT r1 next #5)."""
+    import warnings
+
+    from mg_gcn_tpu.ops.spmm_pattern import D_MAX
+
+    g, pair, a_hat = setup_pair(parts=2)
+    n, n_pad = pair.n, pair.n_pad
+    d = D_MAX + 44  # forces >1 chunk, non-multiple of D_MAX
+    h = np.zeros((n_pad, d), np.float32)
+    h[:n] = np.random.default_rng(9).random((n, d))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any fallback warning fails the test
+        got = _run_fused(mesh2, pair, jnp.asarray(h), orientation)
+    want = (a_hat.T if orientation == "PT" else a_hat) @ h[:n]
+    np.testing.assert_allclose(got[:n], want, rtol=1e-5, atol=1e-5)

@@ -152,3 +152,21 @@ def test_large_random_weighted_bf16_vs_coo():
         se.spmm_edge_tiles(mat, jnp.asarray(np.eye(2000, 32, dtype=np.float32)))
     )
     np.testing.assert_allclose(via_edge, via_coo, rtol=1e-4, atol=1e-4)
+
+
+def test_coo_xla_chunked_matches_direct(monkeypatch):
+    """The scanned edge-chunk COO path (big-graph memory cap) must equal the
+    direct gather+segment-sum path."""
+    from mg_gcn_tpu.ops import spmm as spmm_mod
+    from mg_gcn_tpu.ops.spmm import COOMat, _spmm_coo_xla
+
+    g = sparse.random_graph(500, 7, seed=11, weights="uniform")
+    b = jnp.asarray(
+        np.random.default_rng(12).standard_normal((500, 16)).astype(np.float32)
+    )
+    mat = COOMat.from_csr(g)
+    direct = np.asarray(_spmm_coo_xla(mat, b))
+    monkeypatch.setattr(spmm_mod, "GATHER_BYTES_CAP", 4096)  # force many chunks
+    chunked = np.asarray(_spmm_coo_xla(mat, b))
+    np.testing.assert_allclose(chunked, direct, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(direct, g.to_dense() @ np.asarray(b), rtol=1e-4, atol=1e-4)

@@ -82,6 +82,7 @@ BR_CANDIDATES = (512, 640, 768, 896, 1024, 1280, 1536, 2048)
         "tcw_bits",
         "dtype_name",
         "fill",
+        "paired",
     ],
 )
 @dataclass(frozen=True)
@@ -109,6 +110,7 @@ class EdgeTileMat:
     tcw_bits: int
     dtype_name: str = "bfloat16"
     fill: float = 1.0  # nnz / slot count (diagnostic)
+    paired: bool = False  # chunk pairs share chi -> one apply per pair
 
     @property
     def compute_dtype(self):
@@ -119,22 +121,30 @@ class EdgeTileMat:
         return self.meta.shape[0]
 
 
-def _pick_br(n_out: int, n_in: int, nnz: int) -> int:
-    """Choose the row-tile height: maximize slot fill per per-chunk cost.
+def _pick_br(n_out: int, n_in: int, nnz: int) -> tuple[int, bool]:
+    """Choose (row-tile height, chunk pairing): maximize slot fill per
+    per-chunk cost.
 
     fill(br) = lam / (ceil(lam/K)*K) with lam = br*BC*density (the mean
     sub-tile edge count); per-slot cost grows ~linearly in br (Hr compare +
-    two (br,128)-shaped matmuls). The score below reproduces the measured
-    cost slope (PERF.md); ties break toward fewer steps (smaller SMEM)."""
+    two (br,128)-shaped matmuls). ``paired`` rounds each sub-tile's chunk
+    count up to even so chunk pairs share their apply sub-window — one M@B
+    per pair (~25% less MXU at d=128) for a little fill. The score
+    constants reproduce the measured cost slope (PERF.md)."""
     density = nnz / max(n_out * n_in, 1)
-    best, best_score = BR_CANDIDATES[0], -1.0
+    best, best_score = (BR_CANDIDATES[0], False), -1.0
     for br in BR_CANDIDATES:
         lam = br * BC * density
-        fill = lam / (np.ceil(max(lam, 1e-9) / K) * K)
-        cost = 1.0 + br / 512.0  # relative per-slot cost
-        score = fill / cost
-        if score > best_score + 1e-9:
-            best, best_score = br, score
+        chunks = np.ceil(max(lam, 1e-9) / K)
+        for paired in (False, True):
+            eff_chunks = chunks + (chunks % 2) if paired else chunks
+            fill = lam / (eff_chunks * K)
+            # per-slot: ~1 VPU+Mmm unit scaling with br, apply halved when
+            # paired (measured slope: 2.12 cyc/slot at br=640 unpaired)
+            cost = (0.75 + br / 512.0) + (0.125 if paired else 0.25) * br / 512.0
+            score = fill / cost
+            if score > best_score + 1e-9:
+                best, best_score = (br, paired), score
     return best
 
 
@@ -142,6 +152,7 @@ def edge_tile_mat_from_csr(
     csr: CSRData,
     dtype: str = "bfloat16",
     br: int | None = None,
+    paired: bool | None = None,
     device=None,
 ) -> EdgeTileMat:
     """Host-side tiling/chunking/padding of a weighted CSR matrix.
@@ -150,8 +161,10 @@ def edge_tile_mat_from_csr(
     passes are vectorized numpy; edges are radix-sorted by sub-tile id.
     """
     n_out, n_in = csr.shape
-    if br is None:
-        br = _pick_br(n_out, n_in, csr.nnz)
+    if br is None or paired is None:
+        auto_br, auto_paired = _pick_br(n_out, n_in, csr.nnz)
+        br = auto_br if br is None else br
+        paired = auto_paired if paired is None else paired
     if br % 8 or br <= 0:
         raise ValueError("br must be a positive multiple of 8")
     n_out_pad = round_up(max(n_out, br), br)
@@ -188,6 +201,10 @@ def edge_tile_mat_from_csr(
         scounts = np.empty(0, np.int64)
     sstart = np.concatenate([[0], np.cumsum(scounts)])[:-1]
     chunks_of = -(-scounts // K)  # ceil: chunks per sub-tile
+    if paired:
+        # even chunk count per sub-tile: pairs (2k, 2k+1) then share chi
+        # everywhere (the outer-tile CPS=8 padding is even too)
+        chunks_of = chunks_of + (chunks_of % 2)
     # per-chunk arrays (sorted by (tr, tcw, chi) because subs is sorted)
     c_sub = np.repeat(subs, chunks_of)
     c_rank = np.arange(c_sub.size) - np.repeat(
@@ -320,10 +337,13 @@ def edge_tile_mat_from_csr(
         tcw_bits=tcw_bits,
         dtype_name=dtype,
         fill=float(csr.nnz) / max(S * CPS * K, 1),
+        paired=paired,
     )
 
 
-def _edge_kernel(meta_ref, chi_ref, idx_ref, w_ref, b_ref, out_ref, *, br, cdtype):
+def _edge_kernel(
+    meta_ref, chi_ref, idx_ref, w_ref, b_ref, out_ref, *, br, cdtype, paired
+):
     s = pl.program_id(0)
 
     @pl.when((meta_ref[s] & 1) == 1)
@@ -336,7 +356,8 @@ def _edge_kernel(meta_ref, chi_ref, idx_ref, w_ref, b_ref, out_ref, *, br, cdtyp
     acc = out_ref[:]
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (br, K), 0)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (BC, K), 0)
-    for c in range(CPS):
+
+    def chunk_m(c):
         v = idx_ref[c : c + 1, :]  # (1, K) i32: rl*BC + cl
         rl = v >> 7  # BC = 128
         cl = v & (BC - 1)
@@ -348,17 +369,29 @@ def _edge_kernel(meta_ref, chi_ref, idx_ref, w_ref, b_ref, out_ref, *, br, cdtyp
         hr = (iota_r == rl).astype(jnp.float32).astype(cdtype)  # (br, K)
         hg = jnp.where(iota_c == cl, wv, 0.0).astype(cdtype)  # (BC, K)
         # contract the edge-slot axis: M[r, c] = sum_e Hr[r,e]*Hg[c,e]
-        m = jax.lax.dot_general(
+        return jax.lax.dot_general(
             hr,
             hg,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec,
         )
+
+    def apply(m, c):
         bsub = b_ref[pl.ds(chi_ref[s % 8, c] * BC, BC), :]
-        acc += jnp.dot(
+        return jnp.dot(
             m.astype(cdtype), bsub, preferred_element_type=jnp.float32, precision=prec
         )
+
+    if paired:
+        # chunk pairs share their apply sub-window (host-enforced even
+        # chunk counts per sub-tile): one M@B per pair
+        for p in range(CPS // 2):
+            m = chunk_m(2 * p) + chunk_m(2 * p + 1)
+            acc += apply(m, 2 * p)
+    else:
+        for c in range(CPS):
+            acc += apply(chunk_m(c), c)
     out_ref[:] = acc
 
 
@@ -400,7 +433,9 @@ def _edge_call(mat: EdgeTileMat, b_pad: jax.Array) -> jax.Array:
         ),
     )
     return pl.pallas_call(
-        functools.partial(_edge_kernel, br=br, cdtype=mat.compute_dtype),
+        functools.partial(
+            _edge_kernel, br=br, cdtype=mat.compute_dtype, paired=mat.paired
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((mat.n_out_pad, d_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(

@@ -170,3 +170,16 @@ def test_coo_xla_chunked_matches_direct(monkeypatch):
     chunked = np.asarray(_spmm_coo_xla(mat, b))
     np.testing.assert_allclose(chunked, direct, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(direct, g.to_dense() @ np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("paired", [False, True])
+def test_paired_apply_matches(paired):
+    """paired=True (one M@B per chunk pair) must be numerically identical
+    to the per-chunk apply."""
+    csr = weighted_csr(700, density=0.08, seed=13)
+    rng = np.random.default_rng(14)
+    b = rng.standard_normal((700, 16)).astype(np.float32)
+    mat = se.edge_tile_mat_from_csr(csr, dtype="float32", paired=paired)
+    assert mat.paired == paired
+    got = np.asarray(se.spmm_edge_tiles(mat, jnp.asarray(b)))
+    np.testing.assert_allclose(got, csr.to_dense() @ b, rtol=1e-5, atol=1e-5)

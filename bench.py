@@ -63,11 +63,33 @@ def main() -> None:
     from mg_gcn_tpu.train import build_agg_pair, make_train_step
 
     t0 = time.time()
-    graph = get_graph()
+    # real-dataset hook (VERDICT r1 #10): when egress exists, run
+    #   python -m mg_gcn_tpu.data.prep reddit -o data/
+    # and set MG_GCN_BENCH_DATA=data/reddit to bench true Reddit; the
+    # synthetic surrogate (identical n/nnz/d, uniform-random = SpMM worst
+    # case) remains the zero-egress stand-in.
+    real_dir = os.environ.get("MG_GCN_BENCH_DATA")
+    real_ds = None
+    if real_dir:
+        from mg_gcn_tpu.formats import Dataset
+
+        real_ds = Dataset.load(real_dir)
+        graph = real_ds.graph
+        # synthetic-shaped aux configs do not transfer to a real dataset
+        os.environ.setdefault("MG_GCN_BENCH_SKIP_WEIGHTED", "1")
+        os.environ.setdefault("MG_GCN_BENCH_SKIP_PRODUCTS", "1")
+        print(f"real dataset from {real_dir}", file=sys.stderr)
+    else:
+        graph = get_graph()
     nnz = graph.nnz
     print(f"graph ready ({nnz} edges) in {time.time()-t0:.1f}s", file=sys.stderr)
 
-    config = GCNConfig(sizes=(FEATURES, *HIDDEN, CLASSES))
+    if real_ds is not None:
+        config = GCNConfig(
+            sizes=(real_ds.num_features, *HIDDEN, real_ds.num_labels)
+        )
+    else:
+        config = GCNConfig(sizes=(FEATURES, *HIDDEN, CLASSES))
     t0 = time.time()
     pair = build_agg_pair(graph, impl=os.environ.get("MG_GCN_BENCH_IMPL", "auto"))
     print(
@@ -75,8 +97,12 @@ def main() -> None:
         file=sys.stderr,
     )
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.random((N, FEATURES), np.float32))
-    y = jnp.asarray(rng.integers(0, CLASSES, N).astype(np.int32))
+    if real_ds is not None:
+        x = jnp.asarray(real_ds.features, jnp.float32)
+        y = jnp.asarray(real_ds.labels.reshape(-1).astype(np.int32))
+    else:
+        x = jnp.asarray(rng.random((N, FEATURES), np.float32))
+        y = jnp.asarray(rng.integers(0, CLASSES, N).astype(np.int32))
     params = init_params(config)
     opt = adam.adam_init(params)
     step = make_train_step(config)

@@ -83,8 +83,11 @@ class COOMat:
 
 
 # cap on the materialized (edges, d) gather: XLA allocates it whole, so big
-# graphs must stream edge chunks through a scan (v5e HBM is 16 GB)
-GATHER_BYTES_CAP = 2 << 30
+# graphs must stream edge chunks through a scan (v5e HBM is 16 GB; on a
+# virtual CPU mesh every device shares host RAM — lower the cap via env)
+import os as _os
+
+GATHER_BYTES_CAP = int(_os.environ.get("MG_GCN_GATHER_CAP", 2 << 30))
 
 
 def _spmm_coo_xla(mat: COOMat, B: jax.Array) -> jax.Array:

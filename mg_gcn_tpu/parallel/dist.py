@@ -266,10 +266,41 @@ class DistPatternPair:
 
 
 def _local_block_spmm(rows, cols, vals, b, num_rows, sorted_rows=True):
-    g = b[cols] * vals[:, None].astype(b.dtype)
-    return jax.ops.segment_sum(
-        g, rows, num_segments=num_rows, indices_are_sorted=sorted_rows
+    d = b.shape[1]
+    gather_bytes = rows.shape[0] * d * b.dtype.itemsize
+    from ..ops.spmm import GATHER_BYTES_CAP
+
+    if gather_bytes <= GATHER_BYTES_CAP:
+        g = b[cols] * vals[:, None].astype(b.dtype)
+        return jax.ops.segment_sum(
+            g, rows, num_segments=num_rows, indices_are_sorted=sorted_rows
+        )
+    # huge blocks: XLA materializes the gathered (E, d) intermediate, so
+    # stream edge chunks through a scan (same cap as ops.spmm._spmm_coo_xla)
+    n_chunks = int(-(-gather_bytes // GATHER_BYTES_CAP))
+    chunk = -(-rows.shape[0] // n_chunks)
+    pad = n_chunks * chunk - rows.shape[0]
+    rows_p = jnp.concatenate([rows, jnp.full(pad, num_rows - 1, rows.dtype)])
+    cols_p = jnp.concatenate([cols, jnp.zeros(pad, cols.dtype)])
+    vals_p = jnp.concatenate([vals, jnp.zeros(pad, vals.dtype)])
+
+    def body(acc, part):
+        r, c, v = part
+        g = b[c] * v[:, None].astype(b.dtype)
+        return acc + jax.ops.segment_sum(
+            g, r, num_segments=num_rows, indices_are_sorted=sorted_rows
+        ), None
+
+    acc, _ = jax.lax.scan(
+        body,
+        jnp.zeros((num_rows, d), b.dtype),
+        (
+            rows_p.reshape(n_chunks, chunk),
+            cols_p.reshape(n_chunks, chunk),
+            vals_p.reshape(n_chunks, chunk),
+        ),
     )
+    return acc
 
 
 def _ring_perm(parts: int):

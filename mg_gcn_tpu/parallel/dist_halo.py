@@ -75,25 +75,27 @@ class DistHaloMat:
     """Row-partitioned sparse matrix with compact halo exchange lists.
 
     Shapes (P devices, S = P-1 exchange rounds, shard axis 0):
-      loc_rows/cols/vals : (P, E_loc)     diagonal block, local column ids
-      rem_rows/vals      : (P, S, E_rem)  off-diagonal blocks; round s holds
-                           block A[j, (j+s+1) % P]
-      rem_cols           : (P, S, E_rem)  column ids rebased into the round's
-                           received halo buffer [0, halo_width)
+      loc_rows/cols/vals : (P, E_loc)       diagonal block, local column ids
+      rem_rows/vals      : tuples of S arrays (P, e_s); round s holds block
+                           A[j, (j+s+1) % P], padded to that *round's* max
+                           nnz (a dense hub round does not inflate every
+                           round — the same per-round independence as
+                           send_idx; at papers100M scale the uniform
+                           (P, S, E_max) layout dominated host memory)
+      rem_cols           : same layout; column ids rebased into the round's
+                           received halo buffer [0, w_s)
       send_idx           : tuple of S arrays (P, w_s) — local feature rows
                            device j sends in round s (its halo as referenced
-                           by the destination (j-s-1) % P). Widths are
-                           per-round maxima, so one hub block only widens its
-                           own round's exchange, not every round's.
+                           by the destination (j-s-1) % P)
     Padding: vals 0, rows = m_loc-1, cols/send_idx 0.
     """
 
     loc_rows: jax.Array
     loc_cols: jax.Array
     loc_vals: jax.Array
-    rem_rows: jax.Array
-    rem_cols: jax.Array
-    rem_vals: jax.Array
+    rem_rows: tuple  # S arrays (P, e_s)
+    rem_cols: tuple
+    rem_vals: tuple
     send_idx: tuple  # S arrays (P, w_s)
     n: int
     parts: int
@@ -108,6 +110,10 @@ class DistHaloMat:
 
     @staticmethod
     def from_csr(csr: CSRData, parts: int, pad_to: int = 512) -> "DistHaloMat":
+        """Streaming int32 build: one row-slab at a time, per-round padded
+        storage — peak host memory ~12 bytes/edge + one slab of
+        temporaries (the earlier P×P-block + (P, S, E_max) layout peaked at
+        >200 bytes/edge, far past host RAM at papers100M scale)."""
         n = csr.nrows
         if n % parts:
             raise ValueError(
@@ -115,70 +121,92 @@ class DistHaloMat:
                 "dataset (dist_matrix.hpp:428 semantics)"
             )
         m_loc = n // parts
-        part = host_sparse.uniform_partition(n, parts)
-        blocks = host_sparse.partition_blocks(csr, part, part)
         S = max(parts - 1, 0)
+        indptr = csr.indptr
+        indices = csr.indices
 
-        # pass 1: halo lists + compact blocks (kept as numpy, padded in pass 2)
+        # pass over row slabs: compact per-(j, s) blocks in int32
         halos: list[list[np.ndarray]] = [[None] * S for _ in range(parts)]
         compact: list[list[tuple]] = [[None] * S for _ in range(parts)]
-        e_loc_max, e_rem_max, h_max, h_total = 1, 1, 1, 0
+        loc_blocks: list[tuple] = [None] * parts
+        e_loc_max, h_total = 1, 0
         for j in range(parts):
-            e_loc_max = max(e_loc_max, blocks[j][j].nnz)
-            for s in range(S):
-                k = (j + s + 1) % parts
-                blk = blocks[j][k]
-                rows = np.repeat(
-                    np.arange(m_loc, dtype=np.int32), np.diff(blk.indptr)
-                )
-                halo_cols, inv = np.unique(blk.indices, return_inverse=True)
-                compact[j][s] = (rows, inv.astype(np.int32), blk.data)
-                # device k sends halo_cols (its local row ids) to j in round s
-                halos[k][s] = halo_cols.astype(np.int32)
-                e_rem_max = max(e_rem_max, blk.nnz)
-                h_max = max(h_max, halo_cols.size)
-                h_total += int(halo_cols.size)
+            r0, r1 = j * m_loc, (j + 1) * m_loc
+            e0, e1 = int(indptr[r0]), int(indptr[r1])
+            cols_j = indices[e0:e1]
+            rows_j = np.repeat(
+                np.arange(m_loc, dtype=np.int32),
+                np.diff(indptr[r0 : r1 + 1]).astype(np.int64),
+            )
+            data_j = csr.data[e0:e1]
+            dest = (cols_j // m_loc).astype(np.int16)
+            for k in range(parts):
+                sel = dest == k
+                rows = rows_j[sel]
+                cols = cols_j[sel] - k * m_loc
+                vals = data_j[sel].astype(np.float32)
+                if k == j:
+                    loc_blocks[j] = (rows, cols.astype(np.int32), vals)
+                    e_loc_max = max(e_loc_max, rows.size)
+                else:
+                    s = (k - j - 1) % parts  # round in which A[j, k] computes
+                    halo_cols, inv = np.unique(cols, return_inverse=True)
+                    compact[j][s] = (rows, inv.astype(np.int32), vals)
+                    # device k sends halo_cols (local row ids) to j, round s
+                    halos[k][s] = halo_cols.astype(np.int32)
+                    h_total += int(halo_cols.size)
+            del cols_j, rows_j, data_j, dest
 
         e_loc = _round_up(e_loc_max, pad_to)
-        e_rem = _round_up(e_rem_max, pad_to)
         pad_unit = min(pad_to, 128)
-        # per-round widths: one hub block widens only its own round
+        # per-round paddings: one hub block widens only its own round
         widths = tuple(
             _round_up(max(halos[j][s].size for j in range(parts)), pad_unit)
+            for s in range(S)
+        )
+        e_rem_s = tuple(
+            _round_up(max(compact[j][s][0].size for j in range(parts)), pad_to)
             for s in range(S)
         )
 
         loc_rows = np.full((parts, e_loc), m_loc - 1, np.int32)
         loc_cols = np.zeros((parts, e_loc), np.int32)
         loc_vals = np.zeros((parts, e_loc), np.float32)
-        rem_rows = np.full((parts, S, e_rem), m_loc - 1, np.int32)
-        rem_cols = np.zeros((parts, S, e_rem), np.int32)
-        rem_vals = np.zeros((parts, S, e_rem), np.float32)
-        send_idx = [np.zeros((parts, widths[s]), np.int32) for s in range(S)]
         for j in range(parts):
-            d = blocks[j][j]
-            e = d.nnz
-            loc_rows[j, :e] = np.repeat(
-                np.arange(m_loc, dtype=np.int32), np.diff(d.indptr)
-            )
-            loc_cols[j, :e] = d.indices
-            loc_vals[j, :e] = d.data
-            for s in range(S):
+            rows, cols, vals = loc_blocks[j]
+            e = rows.size
+            loc_rows[j, :e] = rows
+            loc_cols[j, :e] = cols
+            loc_vals[j, :e] = vals
+            loc_blocks[j] = None
+        rem_rows, rem_cols, rem_vals, send_idx = [], [], [], []
+        for s in range(S):
+            rr = np.full((parts, e_rem_s[s]), m_loc - 1, np.int32)
+            rc = np.zeros((parts, e_rem_s[s]), np.int32)
+            rv = np.zeros((parts, e_rem_s[s]), np.float32)
+            si = np.zeros((parts, widths[s]), np.int32)
+            for j in range(parts):
                 rows, cols, vals = compact[j][s]
                 e = rows.size
-                rem_rows[j, s, :e] = rows
-                rem_cols[j, s, :e] = cols
-                rem_vals[j, s, :e] = vals
+                rr[j, :e] = rows
+                rc[j, :e] = cols
+                rv[j, :e] = vals
+                compact[j][s] = None
                 hc = halos[j][s]
-                send_idx[s][j, : hc.size] = hc
+                si[j, : hc.size] = hc
+            rem_rows.append(jnp.asarray(rr))
+            rem_cols.append(jnp.asarray(rc))
+            rem_vals.append(jnp.asarray(rv))
+            send_idx.append(jnp.asarray(si))
+            del rr, rc, rv, si
         return DistHaloMat(
             loc_rows=jnp.asarray(loc_rows),
             loc_cols=jnp.asarray(loc_cols),
             loc_vals=jnp.asarray(loc_vals),
-            rem_rows=jnp.asarray(rem_rows),
-            rem_cols=jnp.asarray(rem_cols),
-            rem_vals=jnp.asarray(rem_vals),
-            send_idx=tuple(jnp.asarray(a) for a in send_idx),
+            rem_rows=tuple(rem_rows),
+            rem_cols=tuple(rem_cols),
+            rem_vals=tuple(rem_vals),
+            send_idx=tuple(send_idx),
             n=n,
             parts=parts,
             nnz=csr.nnz,

@@ -96,6 +96,9 @@ def main():
         os.environ,
         JAX_PLATFORMS="cpu",
         XLA_FLAGS="--xla_force_host_platform_device_count=8",
+        # 8 virtual devices share host RAM: cap each device's materialized
+        # SpMM gather at 256 MB (the TPU default is 2 GB of HBM)
+        MG_GCN_GATHER_CAP=str(256 << 20),
     )
     code = (
         "import jax; jax.config.update('jax_platforms','cpu');"

@@ -62,6 +62,8 @@ from .spmm_pattern import round_up
 
 BC = 128  # operand rows per sub-tile / one-hot width (one lane group)
 K = 128  # edge slots per chunk (one lane row)
+VALID_BIT = 1 << 30  # slot-word flag: real edge (vs padding)
+IDX_MASK = VALID_BIT - 1
 CPS = 8  # chunks per grid step
 BCW = 4096  # operand columns per outer tile (B block height)
 D_MAX_E = 256  # feature columns per kernel call (VMEM bound)
@@ -310,7 +312,11 @@ def edge_tile_mat_from_csr(
         src = np.where(valid, pos, 0)
         rl = rows_s[src] - chunk_tr[b0:b1, None] * br
         cl = cols_s[src] - chunk_gsub[b0:b1, None] * BC
-        idx16[b0:b1] = np.where(valid, rl * BC + cl, 0).astype(np.int32)
+        # bit 30 marks real (non-padding) slots — the SpMM ignores it (its
+        # padding weight is 0 anyway) but SDDMM masks its outputs with it
+        idx16[b0:b1] = np.where(
+            valid, (rl * BC + cl) | VALID_BIT, 0
+        ).astype(np.int32)
         w32[b0:b1] = np.where(valid, data_s[src], 0.0)
 
     put = lambda x: jax.device_put(x, device) if device is not None else jnp.asarray(x)
@@ -358,7 +364,7 @@ def _edge_kernel(
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (BC, K), 0)
 
     def chunk_m(c):
-        v = idx_ref[c : c + 1, :]  # (1, K) i32: rl*BC + cl
+        v = idx_ref[c : c + 1, :] & IDX_MASK  # (1, K) i32: rl*BC + cl
         rl = v >> 7  # BC = 128
         cl = v & (BC - 1)
         wv = w_ref[c : c + 1, :]

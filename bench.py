@@ -292,10 +292,12 @@ def main() -> None:
             print(f"weighted aux skipped: {exc}", file=sys.stderr)
 
     # auxiliary: BASELINE configs 2 & 5 at ogbn-products scale (n=2.45M,
-    # nnz~124M). The n^2/8 pattern store is infeasible at this n (750 GB);
-    # single-chip products runs on the COO/XLA engine — recorded honestly
-    # as the generality path (the distributed halo mode is where this
-    # config scales; see MULTICHIP dryrun + scripts/papers_rehearsal.py).
+    # nnz~124M). The n^2/8 pattern store is infeasible at this n (750 GB)
+    # and the edge-tile fill collapses at density 2e-5; auto dispatch picks
+    # the windowed serial-gather kernel (ops/spmm_gather.py, measured ~9x
+    # the COO/XLA engine at this scale — PERF.md). The distributed halo
+    # mode is where this config scales further (MULTICHIP dryrun +
+    # scripts/papers_rehearsal.py).
     products_meta = {}
     if not os.environ.get("MG_GCN_BENCH_SKIP_PRODUCTS"):
         try:
@@ -314,8 +316,13 @@ def main() -> None:
             pn = pg.nrows
             pconfig = GCNConfig(sizes=(100, 256, 256, 48))
             t0 = time.time()
-            ppair = build_agg_pair(pg, impl="xla")
-            print(f"products coo pair built in {time.time()-t0:.1f}s", file=sys.stderr)
+            pimpl = os.environ.get("MG_GCN_BENCH_PRODUCTS_IMPL", "auto")
+            ppair = build_agg_pair(pg, impl=pimpl)
+            print(
+                f"products pair ({type(ppair.fwd).__name__}) built in "
+                f"{time.time()-t0:.1f}s",
+                file=sys.stderr,
+            )
             prng = np.random.default_rng(4)
             px = jnp.asarray(prng.random((pn, 100), np.float32))
             py = jnp.asarray(prng.integers(0, 48, pn).astype(np.int32))
@@ -323,7 +330,7 @@ def main() -> None:
             popt = adam.adam_init(pparams)
             pstep = make_train_step(pconfig)
             ptimes = []
-            for e in range(2):  # warmup + 1 (the XLA path is ~1 min/epoch)
+            for e in range(3):  # warmup (compile) + 2
                 s = time.perf_counter()
                 pparams, popt, loss, acc = pstep(pparams, popt, ppair, px, py, None)
                 loss = float(loss)

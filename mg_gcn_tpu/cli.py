@@ -64,7 +64,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--impl",
         default="auto",
-        choices=["auto", "pattern", "block", "edge", "xla", "pallas", "halo"],
+        choices=["auto", "pattern", "block", "edge", "gather", "xla", "pallas", "halo"],
         help="aggregation engine; 'halo' (P>1) exchanges only referenced "
         "feature rows (papers100M-scale storage mode)",
     )

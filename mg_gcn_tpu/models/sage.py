@@ -53,10 +53,10 @@ def build_sage_pair(
     """
     from ..ops import spmm_pattern
 
-    if impl not in ("auto", "pattern", "edge", "xla"):
+    if impl not in ("auto", "pattern", "edge", "gather", "xla"):
         raise ValueError(
             f"SAGE aggregation impl {impl!r} not available; use auto, "
-            "pattern, edge or xla"
+            "pattern, edge, gather or xla"
         )
     if impl == "auto":
         import jax as _jax
@@ -64,7 +64,11 @@ def build_sage_pair(
         if pack is not None or spmm_pattern.pattern_feasible(graph):
             impl = "pattern"
         elif _jax.default_backend() in ("tpu", "axon"):
-            impl = "edge"  # weighted / oversized graphs (ops/spmm_edges.py)
+            # weighted / oversized graphs: edge-tile, or serial-gather in
+            # the ultra-sparse regime (train._edge_or_gather's crossover)
+            from ..train import _edge_or_gather
+
+            impl = _edge_or_gather(graph)
         else:
             impl = "xla"
     if impl == "pattern":
@@ -84,6 +88,11 @@ def build_sage_pair(
         return AggPair(fwd=fwd, bwd=bwd)
     m = host_sparse.normalize(graph, axis=False)
     m_t = host_sparse.transpose(m)
+    if impl == "gather":
+        from ..ops.spmm_gather import gather_pair_from_csr_pair
+
+        fwd, bwd = gather_pair_from_csr_pair(m, m_t)
+        return AggPair(fwd=fwd, bwd=bwd)
     if impl == "edge":
         from ..ops.spmm_edges import edge_pair_from_csr_pair
 

@@ -143,10 +143,12 @@ def spmm(mat, B: jax.Array, impl: str | None = None) -> jax.Array:
     (from :mod:`.spmm_pallas`).
     """
     impl = impl or DEFAULT_IMPL
-    from . import spmm_edges, spmm_pallas, spmm_pattern, spmm_pattern_sparse
+    from . import spmm_edges, spmm_gather, spmm_pallas, spmm_pattern, spmm_pattern_sparse
 
     if isinstance(mat, spmm_edges.EdgeTileMat):
         return spmm_edges.spmm_edge_tiles(mat, B)
+    if isinstance(mat, spmm_gather.GatherMat):
+        return spmm_gather.spmm_gather(mat, B)
     if isinstance(mat, spmm_pattern.PatternMat):
         return spmm_pattern.spmm_pattern(mat, B)
     if isinstance(mat, spmm_pattern_sparse.BlockPatternMat):

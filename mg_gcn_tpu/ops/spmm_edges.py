@@ -150,6 +150,19 @@ def _pick_br(n_out: int, n_in: int, nnz: int) -> tuple[int, bool]:
     return best
 
 
+def expected_fill(n_out: int, n_in: int, nnz: int) -> float:
+    """Mean slot fill the auto-tuned schedule would reach — the dispatch
+    signal between this kernel and the serial-gather one (spmm_gather):
+    measured crossover is ~2.3/fill vs ~7.8 cyc/edge, i.e. fill ~0.3."""
+    br, paired = _pick_br(n_out, n_in, nnz)
+    density = nnz / max(n_out * n_in, 1)
+    lam = br * BC * density
+    chunks = np.ceil(max(lam, 1e-9) / K)
+    if paired:
+        chunks += chunks % 2
+    return float(lam / (chunks * K))
+
+
 def edge_tile_mat_from_csr(
     csr: CSRData,
     dtype: str = "bfloat16",

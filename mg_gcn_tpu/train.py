@@ -29,6 +29,24 @@ from .timers import TimerRegistry
 from .ops.spmm_pattern import MEM_BUDGET as PATTERN_MEM_BUDGET  # noqa: E402
 
 
+def _edge_or_gather(graph: CSRData) -> str:
+    """Dispatch between the two O(nnz) kernels by expected edge-tile slot
+    fill (PERF.md: ~2.3/fill vs ~7.8 cyc/edge => crossover fill ~0.3)."""
+    from .ops import spmm_edges, spmm_gather
+
+    fill = spmm_edges.expected_fill(graph.nrows, graph.ncols, graph.nnz)
+    if fill >= 0.3:
+        return "edge"
+    n_st = -(-max(graph.nrows, 1) // spmm_gather.R_ROWS)
+    n_win = -(-max(graph.ncols, 1) // spmm_gather.W_ROWS)
+    # conservative: actual S <= nnz/E_BLK + groups (<= n_st*n_win) +
+    # dummy/pad steps (<= n_st + 8)
+    steps_est = graph.nnz // spmm_gather.E_BLK + n_st * n_win + n_st + 16
+    if steps_est < spmm_gather.MAX_STEPS_G and n_st * n_win <= 1 << 18:
+        return "gather"
+    return "edge"  # its builder falls back to COO/XLA if infeasible
+
+
 def build_agg_pair(
     graph: CSRData,
     impl: str = "auto",
@@ -55,15 +73,17 @@ def build_agg_pair(
       "pattern" — force the dense-pattern kernel (raises if not applicable).
       "block"   — force the block-sparse pattern kernel.
       "edge"    — force the edge-tile kernel (arbitrary edge values).
+      "gather"  — force the windowed serial-gather kernel (ultra-sparse
+                  graphs; arbitrary edge values).
       "xla"     — COO gather/segment-sum compiled by XLA.
       "pallas"  — tiled-ELL Pallas kernel (interpret/debug only on v5e).
     """
     from .ops import spmm_pattern, spmm_pattern_sparse
 
-    if impl not in ("auto", "pattern", "block", "edge", "xla", "pallas"):
+    if impl not in ("auto", "pattern", "block", "edge", "gather", "xla", "pallas"):
         raise ValueError(
             f"unknown aggregation impl {impl!r} (expected auto/pattern/block/"
-            "edge/xla/pallas; 'halo' is a distributed mode — see "
+            "edge/gather/xla/pallas; 'halo' is a distributed mode — see "
             "parallel.dist_halo)"
         )
     if impl == "auto":
@@ -84,11 +104,13 @@ def build_agg_pair(
             elif dense_bytes <= PATTERN_MEM_BUDGET:
                 impl = "pattern"
             else:
-                impl = "edge"
+                impl = _edge_or_gather(graph)
         elif on_tpu:
-            # weighted adjacency: the edge-tile kernel is the fast path
-            # (measured ~4x the XLA gather path at Reddit scale, PERF.md)
-            impl = "edge"
+            # weighted adjacency: edge-tile when its slot fill holds up
+            # (measured ~4x the XLA gather path at Reddit scale), the
+            # serial-gather kernel in the ultra-sparse regime (~10x at
+            # products scale) — PERF.md
+            impl = _edge_or_gather(graph)
         else:
             impl = "xla"
     if impl == "block":
@@ -107,6 +129,11 @@ def build_agg_pair(
         return AggPair(fwd=fwd, bwd=bwd)
     a = graph if pre_normalized else sparse.normalize(graph, axis=True)
     a_t = sparse.transpose(a)
+    if impl == "gather":
+        from .ops.spmm_gather import gather_pair_from_csr_pair
+
+        fwd, bwd = gather_pair_from_csr_pair(a_t, a)
+        return AggPair(fwd=fwd, bwd=bwd)
     if impl == "edge":
         from .ops.spmm_edges import edge_pair_from_csr_pair
 

@@ -68,7 +68,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="aggregation engine; 'halo' (P>1) exchanges only referenced "
         "feature rows (papers100M-scale storage mode)",
     )
-    p.add_argument("--model", default="gcn", choices=["gcn", "sage"])
+    p.add_argument("--model", default="gcn", choices=["gcn", "sage", "gat"])
+    p.add_argument(
+        "--heads",
+        type=int,
+        default=1,
+        help="attention heads per GAT layer (--model gat; concat on hidden "
+        "layers, mean on the output layer)",
+    )
     p.add_argument(
         "--pattern-dtype",
         default="bfloat16",
@@ -168,6 +175,17 @@ def cmd_train(opts) -> int:
             file=sys.stderr,
         )
         return 2
+    if opts.model == "gat":
+        if opts.P > 1:
+            print("--model gat is single-chip for now; use -P 1", file=sys.stderr)
+            return 2
+        if opts.impl not in ("auto", "edge"):
+            print(
+                "--model gat runs on the edge-tile attention kernels; "
+                "use --impl auto or edge",
+                file=sys.stderr,
+            )
+            return 2
     import jax
     import jax.numpy as jnp
 
@@ -221,6 +239,17 @@ def cmd_train(opts) -> int:
             sizes=tuple(sizes),
             loss_mask="train" if opts.mask_train else "all",
         )
+    elif opts.model == "gat":
+        from .models.gat import GATConfig
+
+        if opts.residual:
+            print("--residual is a GCN option (--model gcn)", file=sys.stderr)
+            return 2
+        config = GATConfig(
+            sizes=tuple(sizes),
+            heads=opts.heads,
+            loss_mask="train" if opts.mask_train else "all",
+        )
     else:
         config = GCNConfig(
             sizes=tuple(sizes),
@@ -237,6 +266,10 @@ def cmd_train(opts) -> int:
         from .models.sage import init_params as sage_init
 
         params = sage_init(config, key)
+    elif opts.model == "gat":
+        from .models.gat import init_params as gat_init
+
+        params = gat_init(config, key)
     else:
         params = init_params(config, key)
     opt_state = adam.adam_init(params)
@@ -286,6 +319,11 @@ def _train_single(opts, ds, config, hparams, params, opt_state, timers):
             from .models.sage import build_sage_pair
 
             pair = build_sage_pair(ds.graph, impl=opts.impl, dtype=opts.pattern_dtype)
+        elif opts.model == "gat":
+            from .models.gat import build_gat_graph
+
+            dtype = "bfloat16" if opts.pattern_dtype == "int8" else opts.pattern_dtype
+            pair = build_gat_graph(ds.graph, dtype=dtype)
         else:
             pair = build_agg_pair(
                 ds.graph, impl=opts.impl, pattern_dtype=opts.pattern_dtype

@@ -24,9 +24,9 @@ VPU, no gathers — v5e has no cross-vreg gather):
 Chunk pairs share their B sub-window when ``mat.paired`` (T amortized).
 Padding slots yield exactly 0 (the VALID_BIT mask in the slot words).
 
-Gradients (for a future autodiff wiring — round 3): dA = SpMM(w := g) @ B
-with this mat; dB needs the transposed structure plus the fwd→bwd slot
-permutation, which the builder does not emit yet.
+Gradients: see :mod:`.edge_attention` — ``dA = M(g) @ B`` rides the
+weighted SpMM and ``dB = Mᵀ(g) @ A`` the transposed-schedule kernel
+(``spmm_edge_tiles_t``), both in this same slot layout.
 """
 
 from __future__ import annotations
@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .spmm_pattern import round_up
-from .spmm_edges import BC, CPS, IDX_MASK, K, EdgeTileMat
+from .spmm_edges import BC, CPS, IDX_MASK, K, EdgeTileMat, interpret_default
 
 
 def _sddmm_kernel(meta_ref, chi_ref, idx_ref, a_ref, b_ref, out_ref, *, br, cdtype, paired, tcw_bits):
@@ -157,4 +157,5 @@ def sddmm_edge_tiles(mat: EdgeTileMat, a: jax.Array, b: jax.Array) -> jax.Array:
             + S * CPS * K * 4,
             transcendentals=0,
         ),
+        interpret=interpret_default(),
     )(mat.meta, mat.chi, mat.idx, a_pad, b_pad)

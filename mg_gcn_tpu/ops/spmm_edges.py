@@ -71,6 +71,12 @@ MAX_STEPS = 220_000  # SMEM budget: one packed i32 per step, ~1 MB total
 BR_CANDIDATES = (512, 640, 768, 896, 1024, 1280, 1536, 2048)
 
 
+def interpret_default() -> bool:
+    """Pallas interpret mode off TPU — lets the edge-tile/attention stack
+    (and models built on it, e.g. GAT) run on CPU for tests/dryruns."""
+    return jax.default_backend() not in ("tpu", "axon")
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["idx", "w", "meta", "chi"],
@@ -465,6 +471,7 @@ def _edge_call(mat: EdgeTileMat, b_pad: jax.Array) -> jax.Array:
             + mat.n_out_pad * d_pad * 4,
             transcendentals=0,
         ),
+        interpret=interpret_default(),
     )(mat.meta, mat.chi, mat.idx, mat.w, b_pad)
 
 
@@ -479,6 +486,213 @@ def spmm_edge_tiles(mat: EdgeTileMat, b: jax.Array) -> jax.Array:
     b_pad = b_pad.at[:n, :d].set(b.astype(cdtype))
     out = _edge_call(mat, b_pad)
     return out[: mat.n_out, :d]
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["s0", "tmeta"],
+    meta_fields=[],
+)
+@dataclass(frozen=True)
+class TSched:
+    """Transposed step schedule over an :class:`EdgeTileMat`'s slot arrays.
+
+    Reorders the matrix's grid steps by (column window, row-tile) so the
+    *transposed* product ``C = Mᵀ @ X`` accumulates output blocks (indexed
+    by column window) across consecutive steps — the same slot data, a
+    different visit order. ``s0[s]`` is the original step id (indexes the
+    idx/w/chi blocks); ``tmeta[s]`` packs ``(tr << (tcw_bits + 2)) |
+    (tcw << 2) | (first << 1) | dummy`` (dummy steps zero-init windows no
+    edge touches).
+    """
+
+    s0: jax.Array  # i32[S2]
+    tmeta: jax.Array  # i32[S2]
+
+    @property
+    def num_steps(self) -> int:
+        return self.s0.shape[0]
+
+
+def transposed_schedule(mat: EdgeTileMat, device=None) -> TSched:
+    """Build the (tcw-major) step reorder for ``spmm_edge_tiles_t``.
+
+    The transposed product writes (BCW, d) output blocks per column window;
+    grouping steps by tcw makes those revisits consecutive (Pallas
+    accumulation semantics). Host cost is one argsort of S step ids."""
+    meta = np.asarray(mat.meta)
+    S = meta.shape[0]
+    tcw_bits = mat.tcw_bits
+    tcw = (meta >> 1) & ((1 << tcw_bits) - 1)
+    tr = meta.astype(np.int64) >> (tcw_bits + 1)
+    order = np.argsort(tcw, kind="stable")  # steps already tr-major
+    s0 = order.astype(np.int64)
+    t_tcw = tcw[order].astype(np.int64)
+    t_tr = tr[order]
+    dummy = np.zeros(s0.size, np.int64)
+    # dummy zero-init steps for column windows with no edges
+    n_tcw = mat.n_in_pad // BCW
+    missing = np.setdiff1d(np.arange(n_tcw, dtype=np.int64), np.unique(t_tcw))
+    if missing.size:
+        s0 = np.concatenate([s0, np.zeros(missing.size, np.int64)])
+        t_tcw = np.concatenate([t_tcw, missing])
+        t_tr = np.concatenate([t_tr, np.zeros(missing.size, np.int64)])
+        dummy = np.concatenate([dummy, np.ones(missing.size, np.int64)])
+        reorder = np.argsort(t_tcw, kind="stable")
+        s0, t_tcw, t_tr, dummy = s0[reorder], t_tcw[reorder], t_tr[reorder], dummy[reorder]
+    first = np.ones(t_tcw.size, np.int64)
+    if t_tcw.size > 1:
+        first[1:] = (t_tcw[1:] != t_tcw[:-1]).astype(np.int64)
+    tr_bits = max(int(np.ceil(np.log2(max(mat.n_out_pad // mat.br, 2)))), 1)
+    if tr_bits + tcw_bits + 2 > 31:
+        raise ValueError("graph too large for the transposed edge-tile schedule")
+    # two scalar-prefetch words per step: keep within the ~1 MB SMEM budget
+    if 2 * t_tcw.size > MAX_STEPS:
+        raise ValueError(
+            f"transposed schedule needs {2 * t_tcw.size} prefetch words "
+            f"(> {MAX_STEPS}); shard the graph first"
+        )
+    tmeta = ((t_tr << (tcw_bits + 2)) | (t_tcw << 2) | (first << 1) | dummy).astype(
+        np.int32
+    )
+    put = lambda x: jax.device_put(x, device) if device is not None else jnp.asarray(x)
+    return TSched(s0=put(s0.astype(np.int32)), tmeta=put(tmeta))
+
+
+def _edge_t_kernel(
+    s0_ref, tmeta_ref, chi_ref, idx_ref, w_ref, a_ref, out_ref, *, br, cdtype, paired
+):
+    s = pl.program_id(0)
+    tm = tmeta_ref[s]
+
+    @pl.when((tm >> 1) & 1 == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(tm & 1 == 0)  # real step (not a zero-init dummy)
+    def _():
+        prec = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else None
+        chirow = s0_ref[s] % 8  # chi blocks ship 8 original steps per fetch
+        a_blk = a_ref[:]
+        if a_blk.dtype != cdtype:
+            a_blk = a_blk.astype(cdtype)
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (br, K), 0)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (BC, K), 0)
+
+        def chunk_mt(c):
+            v = idx_ref[c : c + 1, :] & IDX_MASK
+            rl = v >> 7  # BC = 128
+            cl = v & (BC - 1)
+            wv = w_ref[c : c + 1, :]
+            if wv.dtype != jnp.float32:
+                wv = wv.astype(jnp.float32)
+            hr = (iota_r == rl).astype(jnp.float32).astype(cdtype)  # (br, K)
+            hg = jnp.where(iota_c == cl, wv, 0.0).astype(cdtype)  # (BC, K)
+            # Mᵀ[c, r] = sum_e Hg[c,e]*Hr[r,e]
+            return jax.lax.dot_general(
+                hg,
+                hr,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )  # (BC, br)
+
+        def apply_t(mt, c):
+            sub0 = chi_ref[chirow, c] * BC
+            acc = out_ref[pl.ds(sub0, BC), :]
+            out_ref[pl.ds(sub0, BC), :] = acc + jnp.dot(
+                mt.astype(cdtype),
+                a_blk,
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+
+        if paired:
+            for p in range(CPS // 2):
+                apply_t(chunk_mt(2 * p) + chunk_mt(2 * p + 1), 2 * p)
+        else:
+            for c in range(CPS):
+                apply_t(chunk_mt(c), c)
+
+
+def _edge_t_call(
+    mat: EdgeTileMat, sched: TSched, w_slots: jax.Array, a_pad: jax.Array
+) -> jax.Array:
+    """out(n_in_pad, d_pad) f32 = Mᵀ(w_slots) @ a_pad for a_pad
+    (n_out_pad, d_pad) in compute dtype."""
+    if a_pad.shape[1] > D_MAX_E:
+        return jnp.concatenate(
+            [
+                _edge_t_call(mat, sched, w_slots, a_pad[:, i : i + D_MAX_E])
+                for i in range(0, a_pad.shape[1], D_MAX_E)
+            ],
+            axis=1,
+        )
+    d_pad = a_pad.shape[1]
+    S2 = sched.num_steps
+    br = mat.br
+    tcw_bits = mat.tcw_bits
+    tcw_mask = (1 << tcw_bits) - 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # s0, tmeta
+        grid=(S2,),
+        in_specs=[
+            pl.BlockSpec(
+                (8, CPS), lambda s, s0, tm: (s0[s] // 8, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((CPS, K), lambda s, s0, tm: (s0[s], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CPS, K), lambda s, s0, tm: (s0[s], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (br, d_pad),
+                lambda s, s0, tm: (tm[s] >> (tcw_bits + 2), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (BCW, d_pad),
+            lambda s, s0, tm: ((tm[s] >> 2) & tcw_mask, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _edge_t_kernel, br=br, cdtype=mat.compute_dtype, paired=mat.paired
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mat.n_in_pad, d_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * S2 * CPS * (br * BC * K + br * BC * d_pad),
+            bytes_accessed=mat.idx.size * 4
+            + w_slots.size * w_slots.dtype.itemsize
+            + S2 * br * d_pad * a_pad.dtype.itemsize
+            + mat.n_in_pad * d_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret_default(),
+    )(sched.s0, sched.tmeta, mat.chi, mat.idx, w_slots, a_pad)
+
+
+def spmm_edge_tiles_t(
+    mat: EdgeTileMat, sched: TSched, a: jax.Array, w_slots: jax.Array | None = None
+) -> jax.Array:
+    """``C = Mᵀ @ A`` for row-major A (n_out, d); returns (n_in, d) f32.
+
+    ``w_slots`` optionally overrides the matrix's slot weights (same
+    (S*CPS, K) layout) — the backward-B path of SDDMM / weighted SpMM."""
+    n, d = a.shape
+    if n != mat.n_out:
+        raise ValueError(f"A has {n} rows, transposed edge-tile expects {mat.n_out}")
+    cdtype = mat.compute_dtype
+    if w_slots is None:
+        w = mat.w  # builder weights are already zero on padding slots
+    else:
+        # the kernels assume padding slots carry weight 0; mask overrides
+        w = (w_slots * ((mat.idx >> 30) & 1).astype(w_slots.dtype)).astype(cdtype)
+    d_pad = round_up(max(d, 128), 128)
+    a_pad = jnp.zeros((mat.n_out_pad, d_pad), cdtype)
+    a_pad = a_pad.at[:n, :d].set(a.astype(cdtype))
+    out = _edge_t_call(mat, sched, w, a_pad)
+    return out[: mat.n_in, :d]
 
 
 def edge_pair_from_csr_pair(

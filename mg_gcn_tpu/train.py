@@ -175,6 +175,8 @@ def make_train_step(
         lag = loss_and_grad
     elif model == "sage":
         from .models.sage import loss_and_grad as lag  # noqa: F811
+    elif model == "gat":
+        from .models.gat import loss_and_grad as lag  # noqa: F811
     else:
         raise ValueError(f"unknown model {model!r}")
 
@@ -212,6 +214,8 @@ def make_scan_train_steps(
         lag = loss_and_grad
     elif model == "sage":
         from .models.sage import loss_and_grad as lag  # noqa: F811
+    elif model == "gat":
+        from .models.gat import loss_and_grad as lag  # noqa: F811
     else:
         raise ValueError(f"unknown model {model!r}")
 

@@ -32,7 +32,14 @@ def _pagerank_mat(graph: CSRData, impl: str = "auto"):
     from ..ops import spmm_pattern
 
     if impl == "auto":
-        impl = "pattern" if spmm_pattern.pattern_feasible(graph) else "xla"
+        if spmm_pattern.pattern_feasible(graph):
+            impl = "pattern"
+        elif jax.default_backend() in ("tpu", "axon"):
+            from ..train import _edge_or_gather
+
+            impl = _edge_or_gather(graph)  # O(nnz) kernels by slot fill
+        else:
+            impl = "xla"
     if impl == "pattern":
         import jax.numpy as jnp
 
@@ -44,7 +51,19 @@ def _pagerank_mat(graph: CSRData, impl: str = "auto"):
             pack, jnp.asarray(r), n, n_pad, graph.nnz, "PT", "pre", "float32"
         )
     a = host_sparse.normalize(graph, axis=False)  # row-stochastic
-    return COOMat.from_csr(host_sparse.transpose(a))
+    a_t = host_sparse.transpose(a)
+    if impl == "gather":
+        from ..ops.spmm_gather import gather_mat_from_csr
+
+        return gather_mat_from_csr(a_t)
+    if impl == "edge":
+        from ..ops.spmm_edges import edge_tile_mat_from_csr
+
+        try:
+            return edge_tile_mat_from_csr(a_t, dtype="float32")
+        except ValueError:
+            pass  # schedule too large for single-chip SMEM; COO below
+    return COOMat.from_csr(a_t)
 
 
 def pagerank(

@@ -54,6 +54,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..formats import CSRData
+from .spmm_edges import interpret_default
 from .spmm_pattern import round_up
 
 R_ROWS = 16_384  # rows per output super-tile (acc block, f32)
@@ -302,6 +303,7 @@ def _gather_call(mat: GatherMat, b_pad: jax.Array) -> jax.Array:
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
+        interpret=interpret_default(),
         cost_estimate=pl.CostEstimate(
             # the serial walk is ~VPU-bound: count one (1, d) FMA per slot
             flops=2 * S * E_BLK * d_pad,

@@ -63,3 +63,17 @@ def test_pagerank_dist_matches_single():
     mesh = dist.make_mesh(4)
     got = pagerank_dist(g, mesh)
     np.testing.assert_allclose(got, single, rtol=1e-4, atol=1e-5)
+
+
+def test_pagerank_gather_impl_matches_xla():
+    g = sparse.random_graph(300, 6, seed=13)
+    got = pagerank(g, impl="gather")
+    want = pagerank(g, impl="xla")
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_pagerank_edge_impl_matches_xla():
+    g = sparse.random_graph(300, 6, seed=14)
+    got = pagerank(g, impl="edge")
+    want = pagerank(g, impl="xla")
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

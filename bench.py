@@ -366,6 +366,52 @@ def main() -> None:
         except Exception as exc:
             print(f"pagerank aux skipped: {exc}", file=sys.stderr)
 
+    # auxiliary: GAT attention family (beyond the reference) — one epoch of
+    # 2-layer 2-head GAT at n=65k on the SDDMM/slot-softmax/weighted-SpMM
+    # pipeline (ops/edge_attention.py).
+    gat_meta = {}
+    if not os.environ.get("MG_GCN_BENCH_SKIP_GAT"):
+        try:
+            from mg_gcn_tpu.models import gat as gat_mod
+            from mg_gcn_tpu.sparse import random_graph as _rg2
+
+            gg = _rg2(65536, 50, seed=7)
+            gconfig = gat_mod.GATConfig(sizes=(64, 64, 16), heads=2)
+            t0 = time.time()
+            ggraph = gat_mod.build_gat_graph(gg, dtype="bfloat16")
+            print(f"gat graph built in {time.time()-t0:.1f}s", file=sys.stderr)
+            grng = np.random.default_rng(8)
+            gx = jnp.asarray(grng.standard_normal((65536, 64)).astype(np.float32))
+            gy = jnp.asarray(grng.integers(0, 16, 65536).astype(np.int32))
+            gparams = gat_mod.init_params(gconfig, jax.random.key(0))
+            gopt = adam.adam_init(gparams)
+
+            @jax.jit
+            def gat_step(params, opt):
+                loss, acc, grads = gat_mod.loss_and_grad(
+                    params, ggraph, gx, gy, gconfig
+                )
+                params, opt = adam.adam_update(params, grads, opt)
+                return params, opt, loss, acc
+
+            gtimes = []
+            for e in range(3):  # warmup (compile) + 2
+                s = time.perf_counter()
+                gparams, gopt, loss, acc = gat_step(gparams, gopt)
+                loss = float(loss)
+                gtimes.append(time.perf_counter() - s)
+                print(
+                    f"[gat 2x64h2 n=65k] epoch {e}: loss={loss:.4f} "
+                    f"{gtimes[-1]:.3f}s",
+                    file=sys.stderr,
+                )
+            gat_meta = dict(
+                gat_epoch_seconds=float(np.median(gtimes[1:])),
+                gat_nnz=gg.nnz,
+            )
+        except Exception as exc:
+            print(f"gat aux skipped: {exc}", file=sys.stderr)
+
     value = SPMM_PER_EPOCH * nnz / epoch_s
     out = {
         "metric": "reddit-scale 3x128 full-batch GCN aggregated SpMM throughput",
@@ -390,6 +436,7 @@ def main() -> None:
     out.update(block_meta)
     out.update(weighted_meta)
     out.update(products_meta)
+    out.update(gat_meta)
     print(json.dumps(out))
 
 

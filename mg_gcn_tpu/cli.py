@@ -176,8 +176,12 @@ def cmd_train(opts) -> int:
         )
         return 2
     if opts.model == "gat":
-        if opts.P > 1:
-            print("--model gat is single-chip for now; use -P 1", file=sys.stderr)
+        if opts.P > 1 and not opts.R:
+            print(
+                "-R 0 (column parallel) supports --model gcn only; "
+                "use -R 1 for GAT",
+                file=sys.stderr,
+            )
             return 2
         if opts.impl not in ("auto", "edge"):
             print(
@@ -296,6 +300,8 @@ def cmd_train(opts) -> int:
                 rc = _train_col(opts, ds, config, hparams, params, opt_state, timers)
             elif opts.model == "sage":
                 rc = _train_dist_sage(opts, ds, config, hparams, params, opt_state, timers)
+            elif opts.model == "gat":
+                rc = _train_dist_gat(opts, ds, config, hparams, params, opt_state, timers)
             else:
                 rc = _train_dist(opts, ds, config, hparams, params, opt_state, timers)
     params, opt_state, code = rc
@@ -598,6 +604,50 @@ def _train_dist_sage(opts, ds, config, hparams, params, opt_state, timers):
     for e in range(opts.E):
         t0 = time.perf_counter()
         out = step(params, opt_state, dpair, x, y, *(() if mask is None else (mask,)))
+        params, opt_state, loss, acc = out
+        loss, acc = float(loss), float(acc)
+        dt = time.perf_counter() - t0
+        timers.record(f"{e}_0_epoch", dt * 1e3)
+        print(f"{e} {loss} {acc} {dt}", file=sys.stderr)
+        _maybe_save(opts, e, params, opt_state)
+    return params, opt_state, 0
+
+
+def _train_dist_gat(opts, ds, config, hparams, params, opt_state, timers):
+    import jax
+    import jax.numpy as jnp
+
+    from .parallel import dist, dist_gat
+
+    P = opts.P
+    if len(jax.devices()) < P:
+        print(f"only {len(jax.devices())} devices visible", file=sys.stderr)
+        return params, opt_state, 2
+    n = ds.num_nodes
+    if n % P:
+        print(f"node count {n} not divisible by P={P}", file=sys.stderr)
+        return params, opt_state, 2
+    with timers.span("0_preprocess"):
+        mesh = dist.make_mesh(P)
+        dtype = "bfloat16" if opts.pattern_dtype == "int8" else opts.pattern_dtype
+        g = dist_gat.build_dist_gat_graph(ds.graph, P, dtype=dtype)
+        arrays = dist_gat.graph_arrays(g)
+        x = jnp.asarray(ds.features, jnp.float32)
+        y = jnp.asarray(ds.labels.reshape(-1).astype(np.int32))
+        mask = (
+            jnp.asarray(ds.sets.reshape(-1) == 0) if config.loss_mask == "train" else None
+        )
+    step = dist_gat.make_dist_gat_train_step(
+        config,
+        mesh,
+        g,
+        hparams,
+        use_mask=mask is not None,
+        optimizer=opts.optimizer,
+    )
+    for e in range(opts.E):
+        t0 = time.perf_counter()
+        out = step(params, opt_state, arrays, x, y, *(() if mask is None else (mask,)))
         params, opt_state, loss, acc = out
         loss, acc = float(loss), float(acc)
         dt = time.perf_counter() - t0

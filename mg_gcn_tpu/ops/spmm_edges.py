@@ -175,6 +175,7 @@ def edge_tile_mat_from_csr(
     br: int | None = None,
     paired: bool | None = None,
     device=None,
+    pad_steps_to: int | None = None,
 ) -> EdgeTileMat:
     """Host-side tiling/chunking/padding of a weighted CSR matrix.
 
@@ -279,6 +280,13 @@ def edge_tile_mat_from_csr(
     # zero-weight slots and first=0
     S_real = s_tr.size
     S = round_up(max(S_real, 1), 8)
+    if pad_steps_to is not None:
+        if pad_steps_to % 8 or pad_steps_to < S:
+            raise ValueError(
+                f"pad_steps_to ({pad_steps_to}) must be a multiple of 8 and "
+                f">= the natural step count ({S})"
+            )
+        S = pad_steps_to
     if S > S_real:
         pad = S - S_real
         pad_tr = s_tr[-1] if S_real else 0
@@ -514,7 +522,9 @@ class TSched:
         return self.s0.shape[0]
 
 
-def transposed_schedule(mat: EdgeTileMat, device=None) -> TSched:
+def transposed_schedule(
+    mat: EdgeTileMat, device=None, pad_steps_to: int | None = None
+) -> TSched:
     """Build the (tcw-major) step reorder for ``spmm_edge_tiles_t``.
 
     The transposed product writes (BCW, d) output blocks per column window;
@@ -543,6 +553,20 @@ def transposed_schedule(mat: EdgeTileMat, device=None) -> TSched:
     first = np.ones(t_tcw.size, np.int64)
     if t_tcw.size > 1:
         first[1:] = (t_tcw[1:] != t_tcw[:-1]).astype(np.int64)
+    if pad_steps_to is not None:
+        if pad_steps_to < t_tcw.size:
+            raise ValueError(
+                f"pad_steps_to ({pad_steps_to}) < natural transposed step "
+                f"count ({t_tcw.size})"
+            )
+        pad = pad_steps_to - t_tcw.size
+        if pad:
+            # no-op steps: dummy=1 with first=0 (no zero-init, no compute)
+            s0 = np.concatenate([s0, np.zeros(pad, np.int64)])
+            t_tcw = np.concatenate([t_tcw, np.full(pad, t_tcw[-1], np.int64)])
+            t_tr = np.concatenate([t_tr, np.zeros(pad, np.int64)])
+            dummy = np.concatenate([dummy, np.ones(pad, np.int64)])
+            first = np.concatenate([first, np.zeros(pad, np.int64)])
     tr_bits = max(int(np.ceil(np.log2(max(mat.n_out_pad // mat.br, 2)))), 1)
     if tr_bits + tcw_bits + 2 > 31:
         raise ValueError("graph too large for the transposed edge-tile schedule")

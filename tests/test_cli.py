@@ -144,13 +144,24 @@ def test_cli_train_gat(toy, tmp_path):
     assert len(lines[-1].split()) == 4
 
 
-def test_cli_gat_rejects_dist(toy, tmp_path):
+def test_cli_train_dist_gat(toy, tmp_path):
     r = run_cli(
-        ["-P", "4", "-R", "1", "-E", "1", "--model", "gat", "train", toy, "1", "8"],
+        ["-P", "4", "-R", "1", "-E", "2", "--model", "gat", "--heads", "2",
+         "train", toy, "1", "8"],
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    lines = [l for l in r.stderr.splitlines() if l and l[0].isdigit()]
+    assert len(lines) >= 2
+
+
+def test_cli_gat_rejects_col_partition(toy, tmp_path):
+    r = run_cli(
+        ["-P", "4", "-E", "1", "--model", "gat", "train", toy, "1", "8"],
         cwd=tmp_path,
     )
     assert r.returncode == 2
-    assert "gat" in r.stderr
+    assert "GAT" in r.stderr or "gat" in r.stderr
 
 
 def test_cli_sage_rejects_block_impl(toy, tmp_path):

@@ -1,0 +1,101 @@
+"""Distributed GAT vs the single-chip model (4 virtual CPU devices).
+
+The sharded two-ring-pass attention step must reproduce the single-chip
+GAT's loss, accuracy, and parameter trajectory exactly (same exact-autodiff
+semantics; the kernels auto-interpret on CPU)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from mg_gcn_tpu.formats import CSRData
+from mg_gcn_tpu.models import gat
+from mg_gcn_tpu.nn import adam
+from mg_gcn_tpu.parallel import dist_gat
+from mg_gcn_tpu.parallel.dist import make_mesh
+
+
+def toy_graph(n=256, density=0.04, seed=0):
+    g = sp.random(n, n, density=density, format="csr", random_state=seed)
+    g = (g + sp.identity(n, format="csr")).tocsr()
+    g.data[:] = 1.0
+    return CSRData.from_scipy(g)
+
+
+@pytest.mark.parametrize("heads", [1, 2])
+def test_dist_gat_matches_single(heads):
+    parts = 4
+    n, d_in, ncls = 256, 6, 4
+    csr = toy_graph(n, seed=3)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((n, d_in)).astype(np.float32)
+    y = rng.integers(0, ncls, n).astype(np.int32)
+    config = gat.GATConfig(sizes=(d_in, 5, ncls), heads=heads)
+    params = gat.init_params(config, jax.random.key(0))
+
+    # single-chip reference trajectory
+    graph1 = gat.build_gat_graph(csr, dtype="float32")
+    p1 = params
+    opt1 = adam.adam_init(p1)
+
+    @jax.jit
+    def step1(p, o):
+        loss, acc, grads = gat.loss_and_grad(p, graph1, jnp.asarray(x), jnp.asarray(y), config)
+        p, o = adam.adam_update(p, grads, o, lr=1e-2)
+        return p, o, loss, acc
+
+    # distributed
+    mesh = make_mesh(parts)
+    g = dist_gat.build_dist_gat_graph(csr, parts, dtype="float32")
+    arrays = dist_gat.graph_arrays(g)
+    step_d = dist_gat.make_dist_gat_train_step(config, mesh, g, hparams=dict(lr=1e-2))
+    pd = params
+    optd = adam.adam_init(pd)
+    xd, yd = jnp.asarray(x), jnp.asarray(y)
+
+    for it in range(3):
+        p1, opt1, loss1, acc1 = step1(p1, opt1)
+        pd, optd, lossd, accd = step_d(pd, optd, arrays, xd, yd)
+        np.testing.assert_allclose(float(lossd), float(loss1), rtol=1e-5, err_msg=f"it{it}")
+        np.testing.assert_allclose(float(accd), float(acc1), rtol=1e-6)
+    for l1, ld in zip(p1, pd):
+        for k in l1:
+            np.testing.assert_allclose(
+                np.asarray(ld[k]), np.asarray(l1[k]), rtol=1e-4, atol=1e-5, err_msg=k
+            )
+
+
+def test_dist_gat_masked_loss():
+    parts = 4
+    n, d_in, ncls = 128, 4, 3
+    csr = toy_graph(n, density=0.06, seed=5)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((n, d_in)).astype(np.float32)
+    y = rng.integers(0, ncls, n).astype(np.int32)
+    mask = rng.random(n) < 0.5
+    config = gat.GATConfig(sizes=(d_in, ncls), heads=1, loss_mask="train")
+    params = gat.init_params(config, jax.random.key(1))
+
+    graph1 = gat.build_gat_graph(csr, dtype="float32")
+    loss1, acc1, grads1 = gat.loss_and_grad(
+        params, graph1, jnp.asarray(x), jnp.asarray(y), config, jnp.asarray(mask)
+    )
+
+    mesh = make_mesh(parts)
+    g = dist_gat.build_dist_gat_graph(csr, parts, dtype="float32")
+    step_d = dist_gat.make_dist_gat_train_step(
+        config, mesh, g, hparams=dict(lr=1e-2), use_mask=True
+    )
+    pd, optd, lossd, accd = step_d(
+        params,
+        adam.adam_init(params),
+        dist_gat.graph_arrays(g),
+        jnp.asarray(x),
+        jnp.asarray(y),
+        jnp.asarray(mask),
+    )
+    np.testing.assert_allclose(float(lossd), float(loss1), rtol=1e-5)
+    np.testing.assert_allclose(float(accd), float(acc1), rtol=1e-6)

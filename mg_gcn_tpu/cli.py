@@ -681,12 +681,33 @@ def cmd_infer(opts) -> int:
     sizes = [ds.num_features, *hidden, ds.num_labels]
     if opts.P > 1:
         sizes[-1] = (sizes[-1] + opts.P - 1) // opts.P * opts.P
-    config = GCNConfig(sizes=tuple(sizes), residual=opts.residual)
+    if opts.model == "sage":
+        from .models.sage import SAGEConfig
+        from .models.sage import forward as model_forward
+        from .models.sage import init_params as model_init
+
+        config = SAGEConfig(sizes=tuple(sizes))
+    elif opts.model == "gat":
+        from .models.gat import GATConfig
+        from .models.gat import forward as model_forward
+        from .models.gat import init_params as model_init
+
+        config = GATConfig(sizes=tuple(sizes), heads=opts.heads)
+    else:
+        model_forward, model_init = forward, init_params
+        config = GCNConfig(sizes=tuple(sizes), residual=opts.residual)
+    if opts.model != "gcn" and opts.P > 1:
+        print(
+            f"distributed infer supports --model gcn only (got {opts.model}); "
+            "use -P 1",
+            file=sys.stderr,
+        )
+        return 2
 
     from .checkpoint import load_checkpoint
     from .train import build_agg_pair
 
-    template = init_params(config)
+    template = model_init(config)
     params, _ = load_checkpoint(opts.load, (template, adam.adam_init(template)))
     x = jnp.asarray(ds.features, jnp.float32)
     if opts.P > 1 and opts.R:
@@ -710,9 +731,23 @@ def cmd_infer(opts) -> int:
         preds = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
         dt = time.perf_counter() - t0
     else:
-        pair = build_agg_pair(ds.graph, impl=opts.impl, pattern_dtype=opts.pattern_dtype)
+        if opts.model == "sage":
+            from .models.sage import build_sage_pair
+
+            pair = build_sage_pair(ds.graph, impl=opts.impl, dtype=opts.pattern_dtype)
+        elif opts.model == "gat":
+            from .models.gat import build_gat_graph
+
+            dtype = "bfloat16" if opts.pattern_dtype == "int8" else opts.pattern_dtype
+            pair = build_gat_graph(ds.graph, dtype=dtype)
+        else:
+            pair = build_agg_pair(
+                ds.graph, impl=opts.impl, pattern_dtype=opts.pattern_dtype
+            )
         t0 = time.perf_counter()
-        logits = jax.jit(lambda p, pr, x: forward(p, pr, x, config))(params, pair, x)
+        logits = jax.jit(lambda p, pr, x: model_forward(p, pr, x, config))(
+            params, pair, x
+        )
         preds = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
         dt = time.perf_counter() - t0
     y = ds.labels.reshape(-1)

@@ -262,3 +262,20 @@ def test_graft_entry_multichip():
         ge.dryrun_multichip(8)
     finally:
         sys.path.remove(REPO)
+
+
+def test_cli_infer_sage_and_gat(toy, tmp_path):
+    for model, extra in [("sage", []), ("gat", ["--heads", "2"])]:
+        ck = tmp_path / f"{model}.npz"
+        r = run_cli(
+            ["-E", "2", "--model", model, *extra, "--save", str(ck),
+             "train", toy, "1", "8"],
+            cwd=tmp_path,
+        )
+        assert r.returncode == 0, r.stderr
+        r2 = run_cli(
+            ["--model", model, *extra, "--load", str(ck), "infer", toy, "1", "8"],
+            cwd=tmp_path,
+        )
+        assert r2.returncode == 0, (model, r2.stderr)
+        assert "inference:" in r2.stderr

@@ -291,6 +291,18 @@ def main() -> None:
         except Exception as exc:  # aux must never sink the headline
             print(f"weighted aux skipped: {exc}", file=sys.stderr)
 
+    # free the Reddit-scale device buffers before the remaining aux sections
+    # (pattern pack 6.8 GB + weighted edge pair ~1.8 GB + features 0.6 GB;
+    # v5e HBM is 16 GB and the products/pagerank/gat sections allocate their
+    # own multi-GB graphs — r2 bench OOMed here without this)
+    import gc
+
+    pair = pair8 = params8 = opt8 = params = opt = None  # noqa: F841
+    sage_pair = sage_params = sage_opt = sage_step = None  # noqa: F841
+    bfwd = bbwd = v = wpair = wparams = wopt = None  # noqa: F841
+    x = y = step = scan_steps = None  # noqa: F841
+    gc.collect()
+
     # auxiliary: BASELINE configs 2 & 5 at ogbn-products scale (n=2.45M,
     # nnz~124M). The n^2/8 pattern store is infeasible at this n (750 GB)
     # and the edge-tile fill collapses at density 2e-5; auto dispatch picks
@@ -348,6 +360,10 @@ def main() -> None:
 
         except Exception as exc:
             print(f"products aux skipped: {exc}", file=sys.stderr)
+    # free the products-scale buffers (gather pair 2.4 GB + features 1 GB)
+    # before pagerank re-packs the Reddit pattern (6.8 GB)
+    ppair = px = py = pparams = popt = pstep = pg = None  # noqa: F841
+    gc.collect()
 
     # config 5: PageRank power iteration (pagerank.hpp parity). At products
     # scale the d=1 XLA SpMV path measured 564 s one-off (PERF.md) — too

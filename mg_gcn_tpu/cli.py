@@ -171,7 +171,7 @@ def cmd_train(opts) -> int:
     if opts.model == "sage" and opts.impl in ("block", "pallas"):
         print(
             f"--model sage does not support --impl {opts.impl}; "
-            "use auto, pattern, xla, or halo",
+            "use auto, pattern, edge, gather, xla, or halo",
             file=sys.stderr,
         )
         return 2
@@ -677,6 +677,15 @@ def cmd_infer(opts) -> int:
     data_dir = opts.args[0]
     num_sizes = int(opts.args[1])
     hidden = [int(x) for x in opts.args[2 : 2 + num_sizes]]
+    if opts.P > 1 and not opts.R:
+        # a -R 0 checkpoint has every width rounded to a multiple of P and
+        # column-sharded semantics; this path does not reconstruct that
+        print(
+            "-R 0 (column parallel) inference is not wired; train with "
+            "-R 1 or infer with -P 1",
+            file=sys.stderr,
+        )
+        return 2
     ds = Dataset.load(data_dir)
     sizes = [ds.num_features, *hidden, ds.num_labels]
     if opts.P > 1:

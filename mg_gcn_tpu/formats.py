@@ -162,6 +162,15 @@ def read_dense(
         shape = np.fromfile(f, dtype=np.uint32, count=ndim).astype(np.int64)
     expected = int(np.prod(shape))
     if mmap:
+        # memmap with an explicit shape would make the size check below
+        # vacuous (and raise an opaque mmap error on truncation); validate
+        # the payload size against the file length first
+        avail = (os.path.getsize(path) - 4 * ndim) // np.dtype(dtype).itemsize
+        if avail != expected:
+            raise ValueError(
+                f"{path}: payload has {avail} elements, shape "
+                f"{tuple(shape)} wants {expected}"
+            )
         payload = np.memmap(
             path, dtype=dtype, mode="r", offset=4 * ndim, shape=(expected,)
         )

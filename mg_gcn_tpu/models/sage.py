@@ -101,8 +101,16 @@ def build_sage_pair(
                 m, m_t, dtype="bfloat16" if dtype == "int8" else dtype
             )
             return AggPair(fwd=fwd, bwd=bwd)
-        except ValueError:
-            pass  # schedule too large for single-chip SMEM; COO below
+        except ValueError as exc:
+            # schedule too large for single-chip SMEM; COO below — warn so
+            # the degradation is visible in logs/bench output
+            import sys
+
+            print(
+                f"edge-tile schedule infeasible ({exc}); falling back to "
+                "the COO/XLA engine",
+                file=sys.stderr,
+            )
     return AggPair(fwd=COOMat.from_csr(m), bwd=COOMat.from_csr(m_t))
 
 

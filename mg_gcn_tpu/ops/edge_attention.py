@@ -25,12 +25,13 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .sddmm import sddmm_edge_tiles
+from .spmm import _zero_cotangent
 from .spmm_edges import (
     EdgeTileMat,
     TSched,
+    slot_valid_mask,
     spmm_edge_tiles,
     spmm_edge_tiles_t,
     transposed_schedule,
@@ -50,19 +51,13 @@ def build_attention_graph(csr, dtype: str = "bfloat16", **kw):
 
 def valid_mask(mat: EdgeTileMat) -> jax.Array:
     """f32 (S·CPS, K): 1 on real edge slots, 0 on padding."""
-    return ((mat.idx >> 30) & 1).astype(jnp.float32)
+    return slot_valid_mask(mat.idx)
 
 
 def _with_w(mat: EdgeTileMat, w_slots: jax.Array) -> EdgeTileMat:
     # the kernels assume padding slots carry weight 0; mask user weights
-    w = w_slots * ((mat.idx >> 30) & 1).astype(w_slots.dtype)
+    w = w_slots * slot_valid_mask(mat.idx, w_slots.dtype)
     return dataclasses.replace(mat, w=w.astype(mat.compute_dtype))
-
-
-def _zero_cotangent(x):
-    if np.issubdtype(x.dtype, np.floating):
-        return jnp.zeros_like(x)
-    return np.zeros(x.shape, jax.dtypes.float0)
 
 
 def _zeros_like_tree(t):

@@ -42,7 +42,7 @@ from .spmm_pattern import round_up
 from .spmm_edges import BC, CPS, IDX_MASK, K, EdgeTileMat, interpret_default
 
 
-def _sddmm_kernel(meta_ref, chi_ref, idx_ref, a_ref, b_ref, out_ref, *, br, cdtype, paired, tcw_bits):
+def _sddmm_kernel(meta_ref, chi_ref, idx_ref, a_ref, b_ref, out_ref, *, br, cdtype, paired):
     s = pl.program_id(0)
     prec = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else None
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (br, K), 0)
@@ -146,7 +146,7 @@ def sddmm_edge_tiles(mat: EdgeTileMat, a: jax.Array, b: jax.Array) -> jax.Array:
     )
     return pl.pallas_call(
         functools.partial(
-            _sddmm_kernel, br=br, cdtype=cdtype, paired=mat.paired, tcw_bits=tcw_bits
+            _sddmm_kernel, br=br, cdtype=cdtype, paired=mat.paired
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((S * CPS, K), jnp.float32),

@@ -77,6 +77,12 @@ def interpret_default() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
+def slot_valid_mask(idx: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """1 on real edge slots, 0 on padding — THE mask for user-supplied
+    slot weights (the kernels assume padding slots carry weight 0)."""
+    return ((idx >> 30) & 1).astype(dtype)
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["idx", "w", "meta", "chi"],
@@ -710,8 +716,7 @@ def spmm_edge_tiles_t(
     if w_slots is None:
         w = mat.w  # builder weights are already zero on padding slots
     else:
-        # the kernels assume padding slots carry weight 0; mask overrides
-        w = (w_slots * ((mat.idx >> 30) & 1).astype(w_slots.dtype)).astype(cdtype)
+        w = (w_slots * slot_valid_mask(mat.idx, w_slots.dtype)).astype(cdtype)
     d_pad = round_up(max(d, 128), 128)
     a_pad = jnp.zeros((mat.n_out_pad, d_pad), cdtype)
     a_pad = a_pad.at[:n, :d].set(a.astype(cdtype))

@@ -46,12 +46,11 @@ from ..nn import adam
 from ..ops import elementwise as ew
 from ..ops.edge_attention import sddmm, spmm_attn
 from ..ops.spmm_edges import (
-    CPS,
-    K,
     EdgeTileMat,
     TSched,
     _pick_br,
     edge_tile_mat_from_csr,
+    slot_valid_mask,
     transposed_schedule,
 )
 from .dist import GRAPH_AXIS, _local_xent_terms
@@ -216,7 +215,7 @@ def _attend_head_dist(g: DistGatGraph, local, zh, e_dst, e_src, slope, parts):
             jnp.concatenate([ones, vis], axis=1),
         )
         scores.append(ew.leaky_relu(sc, slope))
-        valids.append(((mat.idx >> 30) & 1).astype(jnp.float32))
+        valids.append(slot_valid_mask(mat.idx))
         if s + 1 < parts:
             vis = jax.lax.ppermute(vis, GRAPH_AXIS, perm=perm)
 

@@ -42,15 +42,27 @@ def normalize(csr: CSRData, axis: bool = False) -> CSRData:
         pass
     data = csr.data.astype(np.float32, copy=True)
     if not axis:
-        # Exact per-row sums via prefix sums (reduceat mishandles empty
-        # rows: clamped start indices merge/truncate segments whenever
-        # trailing rows are empty). Empty rows get sum 0 and are never
-        # indexed by `rows`.
-        csum = np.concatenate(
-            ([0.0], np.cumsum(data, dtype=np.float64))
-        )
+        # Exact per-row sums, O(row-chunk) extra memory. reduceat alone
+        # mishandles empty rows (clamped start indices merge/truncate
+        # segments — including the last non-empty row when trailing rows
+        # are empty), so mask empty rows after each chunked reduceat
+        # instead of materializing an (nnz+1) float64 prefix-sum array.
         ptr = csr.indptr.astype(np.int64)
-        row_sum = (csum[ptr[1:]] - csum[ptr[:-1]]).astype(np.float32)
+        n_rows = csr.nrows
+        row_sum = np.zeros(n_rows, np.float32)
+        CHUNK = 1 << 20
+        for r0 in range(0, n_rows, CHUNK):
+            r1 = min(r0 + CHUNK, n_rows)
+            e0, e1 = ptr[r0], ptr[r1]
+            if e1 == e0:
+                continue
+            # sentinel 0 lets trailing-empty-row starts (== chunk length)
+            # index reduceat legally WITHOUT clamping — a clamp would
+            # truncate the preceding non-empty row's segment
+            chunk = np.concatenate([data[e0:e1].astype(np.float64), [0.0]])
+            sums = np.add.reduceat(chunk, ptr[r0:r1] - e0)
+            counts = ptr[r0 + 1 : r1 + 1] - ptr[r0:r1]
+            row_sum[r0:r1] = np.where(counts > 0, sums, 0.0).astype(np.float32)
         rows = _expand_rows(csr)
         data = data / row_sum[rows]
     else:

@@ -142,8 +142,14 @@ def build_agg_pair(
         try:
             fwd, bwd = edge_pair_from_csr_pair(a_t, a, dtype=dtype)
             return AggPair(fwd=fwd, bwd=bwd)
-        except ValueError:
-            # schedule too large for single-chip SMEM — COO/XLA still works
+        except ValueError as exc:
+            # schedule too large for single-chip SMEM — COO/XLA still works,
+            # but say so (silent degradation misattributes bench numbers)
+            print(
+                f"edge-tile schedule infeasible ({exc}); falling back to "
+                "the COO/XLA engine",
+                file=sys.stderr,
+            )
             return AggPair(fwd=COOMat.from_csr(a_t), bwd=COOMat.from_csr(a))
     if impl == "pallas":
         from .ops.spmm_pallas import TiledMat

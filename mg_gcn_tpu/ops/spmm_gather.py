@@ -100,7 +100,13 @@ class GatherMat:
 
 def gather_mat_from_csr(csr: CSRData, device=None) -> GatherMat:
     """Host-side grouping/padding of a weighted CSR matrix into the
-    serial-gather schedule. Vectorized numpy throughout; any edge values."""
+    serial-gather schedule, uploaded to the device. Any edge values."""
+    return gather_mat_from_host(gather_schedule_host(csr), device=device)
+
+
+def gather_schedule_host(csr: CSRData) -> dict:
+    """The pure-host build: group edges by (super-tile, window), pad into
+    E_BLK-slot steps, pack the per-step metadata. Vectorized numpy."""
     n_out, n_in = csr.shape
     n_out_pad = round_up(max(n_out, R_ROWS), R_ROWS)
     n_in_pad = round_up(max(n_in, W_ROWS), W_ROWS)
@@ -211,11 +217,10 @@ def gather_mat_from_csr(csr: CSRData, device=None) -> GatherMat:
         idx[b0:b1] = np.where(valid, (rl << W_BITS) | cl, 0).astype(np.int32)
         w[b0:b1] = np.where(valid, data_s[src], 0.0)
 
-    put = lambda x: jax.device_put(x, device) if device is not None else jnp.asarray(x)
-    return GatherMat(
-        idx=put(idx),
-        w=put(w),
-        meta=put(meta),
+    return dict(
+        idx=idx,
+        w=w,
+        meta=meta,
         n_out=n_out,
         n_in=n_in,
         n_out_pad=n_out_pad,
@@ -223,6 +228,25 @@ def gather_mat_from_csr(csr: CSRData, device=None) -> GatherMat:
         nnz=csr.nnz,
         win_bits=win_bits,
         fill=float(csr.nnz) / max(S * E_BLK, 1),
+    )
+
+
+def gather_mat_from_host(sched: dict, device=None) -> GatherMat:
+    """Device upload of a host schedule (``gather_schedule_host`` output or
+    an npz round-trip of it — the build is pure host work, so callers at
+    products scale cache it on disk)."""
+    put = lambda x: jax.device_put(x, device) if device is not None else jnp.asarray(x)
+    return GatherMat(
+        idx=put(np.asarray(sched["idx"])),
+        w=put(np.asarray(sched["w"])),
+        meta=put(np.asarray(sched["meta"])),
+        n_out=int(sched["n_out"]),
+        n_in=int(sched["n_in"]),
+        n_out_pad=int(sched["n_out_pad"]),
+        n_in_pad=int(sched["n_in_pad"]),
+        nnz=int(sched["nnz"]),
+        win_bits=int(sched["win_bits"]),
+        fill=float(sched["fill"]),
     )
 
 

@@ -495,7 +495,19 @@ def _train_dist(opts, ds, config, hparams, params, opt_state, timers):
                 return params, opt_state, 2
             a = host_sparse.normalize(ds.graph, axis=True)  # main.cpp:143
             a_t = host_sparse.transpose(a)
-            if opts.impl in ("halo", "auto"):
+            if opts.impl == "gather":
+                # serial-gather blocks: the ultra-sparse per-device engine
+                # (ops/spmm_gather.py); ring exchange only
+                if strategy != "ring":
+                    print(
+                        "--impl gather uses the ring exchange; drop -S / "
+                        "--exchange",
+                        file=sys.stderr,
+                    )
+                    return params, opt_state, 2
+                dpair = dist.DistGatherPair.from_csr_pair(a_t, a, P)
+                pair_kind = "gather"
+            elif opts.impl in ("halo", "auto"):
                 # halo exchange: ship only referenced feature rows — the
                 # huge-graph mode (auto's fallback when pattern is infeasible)
                 from .parallel import dist_halo
@@ -584,6 +596,15 @@ def _train_dist_sage(opts, ds, config, hparams, params, opt_state, timers):
 
             dpair = dist_halo.DistHaloPair.from_csr_pair(m, m_t, P)
             pair_kind = "halo"
+        elif opts.impl == "gather":
+            if strategy != "ring":
+                print(
+                    "--impl gather uses the ring exchange; drop -S",
+                    file=sys.stderr,
+                )
+                return params, opt_state, 2
+            dpair = dist.DistGatherPair.from_csr_pair(m, m_t, P)
+            pair_kind = "gather"
         else:
             dpair = dist.DistAggPair.from_csr_pair(m, m_t, P)
             pair_kind = "coo"

@@ -104,9 +104,11 @@ def gather_mat_from_csr(csr: CSRData, device=None) -> GatherMat:
     return gather_mat_from_host(gather_schedule_host(csr), device=device)
 
 
-def gather_schedule_host(csr: CSRData) -> dict:
+def gather_schedule_host(csr: CSRData, pad_steps_to: int | None = None) -> dict:
     """The pure-host build: group edges by (super-tile, window), pad into
-    E_BLK-slot steps, pack the per-step metadata. Vectorized numpy."""
+    E_BLK-slot steps, pack the per-step metadata. Vectorized numpy.
+    ``pad_steps_to`` extends the no-op step padding to a fixed count so
+    schedules of different blocks stack (the distributed pair)."""
     n_out, n_in = csr.shape
     n_out_pad = round_up(max(n_out, R_ROWS), R_ROWS)
     n_in_pad = round_up(max(n_in, W_ROWS), W_ROWS)
@@ -172,6 +174,13 @@ def gather_schedule_host(csr: CSRData) -> dict:
     # live=0 and first=0
     S_real = int(s_st.size)
     S = round_up(S_real, 8)
+    if pad_steps_to is not None:
+        if pad_steps_to % 8 or pad_steps_to < S:
+            raise ValueError(
+                f"pad_steps_to ({pad_steps_to}) must be a multiple of 8 and "
+                f">= the natural step count ({S})"
+            )
+        S = pad_steps_to
     if S > S_real:
         pad = S - S_real
         s_st = np.concatenate([s_st, np.full(pad, s_st[-1], np.int64)])

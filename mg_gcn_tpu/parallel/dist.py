@@ -309,6 +309,116 @@ def _ring_perm(parts: int):
     return [(i, (i - 1) % parts) for i in range(parts)]
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["idx", "w", "meta"],
+    meta_fields=["n", "parts", "nnz"],
+)
+@dataclass(frozen=True)
+class DistGatherMat:
+    """Row-partitioned sparse matrix as ring-ordered serial-gather blocks.
+
+    Axis 0 = owning device (shard axis), axis 1 = ring round; entry [j, s]
+    is the gather schedule (ops/spmm_gather.py) of block A[j, (j+s) % P].
+    All P² blocks share one step count (no-op padded), so the arrays stack;
+    the per-block static geometry is a pure function of m_loc = n/P."""
+
+    idx: jax.Array  # i32[P, P, S, E_BLK]
+    w: jax.Array  # f32[P, P, S, E_BLK]
+    meta: jax.Array  # i32[P, P, S]
+    n: int
+    parts: int
+    nnz: int
+
+    @staticmethod
+    def from_csr(csr: CSRData, parts: int) -> "DistGatherMat":
+        from ..ops import spmm_gather as sg
+
+        n = csr.nrows
+        if n % parts:
+            raise ValueError(
+                f"n ({n}) must be divisible by the mesh size ({parts})"
+            )
+        part = host_sparse.uniform_partition(n, parts)
+        blocks = host_sparse.partition_blocks(csr, part, part)
+        scheds = [
+            [sg.gather_schedule_host(blocks[j][(j + s) % parts]) for s in range(parts)]
+            for j in range(parts)
+        ]
+        S_max = max(s["meta"].shape[0] for row in scheds for s in row)
+        for j in range(parts):
+            for s in range(parts):
+                if scheds[j][s]["meta"].shape[0] < S_max:
+                    scheds[j][s] = sg.gather_schedule_host(
+                        blocks[j][(j + s) % parts], pad_steps_to=S_max
+                    )
+        stack = lambda k: jnp.stack(
+            [jnp.stack([scheds[j][s][k] for s in range(parts)]) for j in range(parts)]
+        )
+        return DistGatherMat(
+            idx=stack("idx"), w=stack("w"), meta=stack("meta"),
+            n=n, parts=parts, nnz=csr.nnz,
+        )
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass, data_fields=["fwd", "bwd"], meta_fields=[]
+)
+@dataclass
+class DistGatherPair:
+    """(Âᵀ, Â) ring blocks on the serial-gather engine — the distributed
+    ultra-sparse path (ogbn-products-scale per-device blocks, where the
+    edge-tile fill collapses and XLA's gather runs ~10x slower)."""
+
+    fwd: DistGatherMat
+    bwd: DistGatherMat
+
+    @staticmethod
+    def from_csr_pair(csr_fwd, csr_bwd, parts) -> "DistGatherPair":
+        return DistGatherPair(
+            DistGatherMat.from_csr(csr_fwd, parts),
+            DistGatherMat.from_csr(csr_bwd, parts),
+        )
+
+    def shardings(self, mesh: Mesh):
+        return jax.tree.map(lambda _: NamedSharding(mesh, P(GRAPH_AXIS)), self)
+
+
+GATHER_MAT_FIELDS = ("idx", "w", "meta")
+
+
+def dist_aggregate_gather(mat_local: dict, h: jax.Array, parts: int) -> jax.Array:
+    """Per-device ring SpMM on the serial-gather kernel: P rounds of local
+    block-SpMM + ppermute (the ultra-sparse analogue of dist_aggregate)."""
+    from ..ops import spmm_gather as sg
+    from ..ops.spmm_pattern import round_up as _ru
+
+    m_loc = h.shape[0]
+    n_out_pad = _ru(max(m_loc, sg.R_ROWS), sg.R_ROWS)
+    n_in_pad = _ru(max(m_loc, sg.W_ROWS), sg.W_ROWS)
+    win_bits = max(int(np.ceil(np.log2(max(n_in_pad // sg.W_ROWS, 2)))), 1)
+    c = jnp.zeros((m_loc, h.shape[1]), jnp.float32)
+    b = h
+    perm = _ring_perm(parts)
+    for s in range(parts):
+        mat = sg.GatherMat(
+            idx=mat_local["idx"][s],
+            w=mat_local["w"][s],
+            meta=mat_local["meta"][s],
+            n_out=m_loc,
+            n_in=m_loc,
+            n_out_pad=n_out_pad,
+            n_in_pad=n_in_pad,
+            nnz=0,  # diagnostic only; the kernel never reads it
+            win_bits=win_bits,
+            fill=1.0,
+        )
+        c = c + sg.spmm_gather(mat, b)
+        if s + 1 < parts:
+            b = jax.lax.ppermute(b, GRAPH_AXIS, perm=perm)
+    return c.astype(h.dtype)
+
+
 def dist_aggregate(
     mat_local: dict, h: jax.Array, parts: int, strategy: str = "ring"
 ) -> jax.Array:
@@ -729,6 +839,14 @@ def make_dist_train_step(
             )
         mat_spec = {k: shard_rows for k in dist_halo.MAT_FIELDS}
         pair_spec = dict(fwd=mat_spec, bwd=mat_spec)
+    elif pair_kind == "gather":
+        if strategy != "ring":
+            raise ValueError(
+                "the gather pair has a single (ring) exchange schedule; "
+                f"strategy {strategy!r} is not available with pair_kind='gather'"
+            )
+        mat_spec = {k: shard_rows for k in GATHER_MAT_FIELDS}
+        pair_spec = dict(fwd=mat_spec, bwd=mat_spec)
     else:
         raise ValueError(f"unknown pair_kind {pair_kind!r}")
     params_spec = [
@@ -764,6 +882,11 @@ def make_dist_train_step(
             b = {k: strip(pair["bwd"][k]) for k in dist_halo.MAT_FIELDS}
             agg_fwd = lambda h: dist_halo.dist_aggregate_halo(f, h, parts)
             agg_bwd = lambda g: dist_halo.dist_aggregate_halo(b, g, parts)
+        elif pair_kind == "gather":
+            f = {k: pair["fwd"][k][0] for k in GATHER_MAT_FIELDS}
+            b = {k: pair["bwd"][k][0] for k in GATHER_MAT_FIELDS}
+            agg_fwd = lambda h: dist_aggregate_gather(f, h, parts)
+            agg_bwd = lambda g: dist_aggregate_gather(b, g, parts)
         else:
             pack_fwd = pair["pack_fwd"][0]
             pack_bwd = pair["pack_bwd"][0]
@@ -801,6 +924,11 @@ def make_dist_train_step(
             pair_dicts = dict(
                 fwd={k: getattr(pair.fwd, k) for k in dist_halo.MAT_FIELDS},
                 bwd={k: getattr(pair.bwd, k) for k in dist_halo.MAT_FIELDS},
+            )
+        elif pair_kind == "gather":
+            pair_dicts = dict(
+                fwd={k: getattr(pair.fwd, k) for k in GATHER_MAT_FIELDS},
+                bwd={k: getattr(pair.bwd, k) for k in GATHER_MAT_FIELDS},
             )
         else:
             pair_dicts = dict(
@@ -910,11 +1038,22 @@ def make_dist_sage_train_step(
                 f"strategy {strategy!r} is not available with pair_kind='halo'"
             )
         mat_spec = {k: shard_rows for k in dist_halo.MAT_FIELDS}
+    elif pair_kind == "gather":
+        if strategy != "ring":
+            raise ValueError(
+                "the gather pair has a single (ring) exchange schedule; "
+                f"strategy {strategy!r} is not available with pair_kind='gather'"
+            )
+        mat_spec = {k: shard_rows for k in GATHER_MAT_FIELDS}
     else:
         raise ValueError(f"unknown pair_kind {pair_kind!r}")
     # autodiff provides the transpose (reverse permute), so only the forward
-    # matrix is shipped — the pair's bwd member is accepted but unused
-    pair_spec = dict(fwd=mat_spec)
+    # matrix is shipped — except the gather pair, whose pallas kernel is not
+    # differentiable: it ships both directions and uses _exact_agg's VJP
+    if pair_kind == "gather":
+        pair_spec = dict(fwd=mat_spec, bwd=mat_spec)
+    else:
+        pair_spec = dict(fwd=mat_spec)
     params_spec = [
         {k: repl for k in ("Wself", "Wneigh", "b")} for _ in range(config.num_layers)
     ]
@@ -933,6 +1072,13 @@ def make_dist_sage_train_step(
                 vals=pair["fwd"]["vals"][0],
             )
             agg = lambda h: dist_aggregate(f, h, parts, strategy)
+        elif pair_kind == "gather":
+            f = {k: pair["fwd"][k][0] for k in GATHER_MAT_FIELDS}
+            b = {k: pair["bwd"][k][0] for k in GATHER_MAT_FIELDS}
+            agg = _exact_agg(
+                lambda h: dist_aggregate_gather(f, h, parts),
+                lambda g: dist_aggregate_gather(b, g, parts),
+            )
         else:
             from . import dist_halo
 
@@ -972,6 +1118,11 @@ def make_dist_sage_train_step(
         if pair_kind == "coo":
             pair_dicts = dict(
                 fwd=dict(rows=pair.fwd.rows, cols=pair.fwd.cols, vals=pair.fwd.vals),
+            )
+        elif pair_kind == "gather":
+            pair_dicts = dict(
+                fwd={k: getattr(pair.fwd, k) for k in GATHER_MAT_FIELDS},
+                bwd={k: getattr(pair.bwd, k) for k in GATHER_MAT_FIELDS},
             )
         else:
             from . import dist_halo

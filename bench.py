@@ -264,7 +264,33 @@ def main() -> None:
             t0 = time.time()
             wvals = rng.random(nnz, np.float32).astype(np.float32) + 0.5
             wgraph = _CSR(graph.indptr, graph.indices, wvals, graph.shape)
-            wpair = build_agg_pair(wgraph, impl="edge")
+            # the edge-tile schedule is pure host work (~130 s at this
+            # scale); cache it on disk like the products gather schedule
+            from mg_gcn_tpu import sparse as _hs2
+            from mg_gcn_tpu.ops.spmm import AggPair as _AP2
+            from mg_gcn_tpu.ops.spmm_edges import (
+                edge_tile_mat_from_host,
+                edge_tile_schedule_host,
+            )
+
+            wspath = os.path.join(CACHE, f"weighted_edge_sched_{nnz}.npz")
+            if os.path.exists(wspath):
+                with np.load(wspath) as dd:
+                    wfs = {k[2:]: dd[k] for k in dd.files if k.startswith("f_")}
+                    wbs = {k[2:]: dd[k] for k in dd.files if k.startswith("b_")}
+            else:
+                wa = _hs2.normalize(wgraph, axis=True)
+                wa_t = _hs2.transpose(wa)
+                wfs = edge_tile_schedule_host(wa_t)
+                wbs = edge_tile_schedule_host(wa)
+                np.savez(
+                    wspath,
+                    **{"f_" + k: np.asarray(v) for k, v in wfs.items()},
+                    **{"b_" + k: np.asarray(v) for k, v in wbs.items()},
+                )
+            wpair = _AP2(
+                edge_tile_mat_from_host(wfs), edge_tile_mat_from_host(wbs)
+            )
             print(
                 f"weighted edge pair built in {time.time()-t0:.1f}s "
                 f"(fill={wpair.fwd.fill:.2f}, br={wpair.fwd.br})",

@@ -183,11 +183,26 @@ def edge_tile_mat_from_csr(
     device=None,
     pad_steps_to: int | None = None,
 ) -> EdgeTileMat:
-    """Host-side tiling/chunking/padding of a weighted CSR matrix.
+    """Host-side tiling/chunking/padding of a weighted CSR matrix, uploaded
+    to the device. Works for any edge values (the cuSPARSE-generality parity
+    path)."""
+    return edge_tile_mat_from_host(
+        edge_tile_schedule_host(
+            csr, dtype=dtype, br=br, paired=paired, pad_steps_to=pad_steps_to
+        ),
+        device=device,
+    )
 
-    Works for any edge values (the cuSPARSE-generality parity path). All
-    passes are vectorized numpy; edges are radix-sorted by sub-tile id.
-    """
+
+def edge_tile_schedule_host(
+    csr: CSRData,
+    dtype: str = "bfloat16",
+    br: int | None = None,
+    paired: bool | None = None,
+    pad_steps_to: int | None = None,
+) -> dict:
+    """The pure-host build (vectorized numpy; edges radix-sorted by sub-tile
+    id) — cacheable on disk and uploaded via ``edge_tile_mat_from_host``."""
     n_out, n_in = csr.shape
     if br is None or paired is None:
         auto_br, auto_paired = _pick_br(n_out, n_in, csr.nnz)
@@ -352,8 +367,33 @@ def edge_tile_mat_from_csr(
         ).astype(np.int32)
         w32[b0:b1] = np.where(valid, data_s[src], 0.0)
 
+    return dict(
+            idx=idx16,
+            w=w32,
+            meta=meta,
+            chi=chi.reshape(S, CPS),
+            n_out=n_out,
+            n_in=n_in,
+            n_out_pad=n_out_pad,
+            n_in_pad=n_in_pad,
+            nnz=csr.nnz,
+            br=br,
+            tcw_bits=tcw_bits,
+            dtype_name=dtype,
+            fill=float(csr.nnz) / max(S * CPS * K, 1),
+            paired=paired,
+    )
+
+
+def edge_tile_mat_from_host(sched: dict, device=None) -> EdgeTileMat:
+    """Device upload of a host-built schedule (the dict the builder makes —
+    or an npz round-trip of it; the tiling is pure host work, so callers at
+    Reddit scale can cache it on disk). ``w`` is f32 on the host and cast to
+    the schedule's compute dtype on upload."""
     put = lambda x: jax.device_put(x, device) if device is not None else jnp.asarray(x)
+    dtype = str(sched["dtype_name"])
     cdtype = jnp.dtype(dtype)
+    w32 = np.asarray(sched["w"])
     if cdtype == jnp.bfloat16:
         import ml_dtypes
 
@@ -363,20 +403,20 @@ def edge_tile_mat_from_csr(
     else:
         raise ValueError(f"unsupported edge-tile dtype {dtype!r}")
     return EdgeTileMat(
-        idx=put(idx16),
+        idx=put(np.asarray(sched["idx"])),
         w=w_dev,
-        meta=put(meta),
-        chi=put(chi.reshape(S, CPS)),
-        n_out=n_out,
-        n_in=n_in,
-        n_out_pad=n_out_pad,
-        n_in_pad=n_in_pad,
-        nnz=csr.nnz,
-        br=br,
-        tcw_bits=tcw_bits,
+        meta=put(np.asarray(sched["meta"])),
+        chi=put(np.asarray(sched["chi"])),
+        n_out=int(sched["n_out"]),
+        n_in=int(sched["n_in"]),
+        n_out_pad=int(sched["n_out_pad"]),
+        n_in_pad=int(sched["n_in_pad"]),
+        nnz=int(sched["nnz"]),
+        br=int(sched["br"]),
+        tcw_bits=int(sched["tcw_bits"]),
         dtype_name=dtype,
-        fill=float(csr.nnz) / max(S * CPS * K, 1),
-        paired=paired,
+        fill=float(sched["fill"]),
+        paired=bool(sched["paired"]),
     )
 
 

@@ -509,11 +509,19 @@ def _train_dist(opts, ds, config, hparams, params, opt_state, timers):
                 pair_kind = "gather"
             elif opts.impl in ("halo", "auto"):
                 # halo exchange: ship only referenced feature rows — the
-                # huge-graph mode (auto's fallback when pattern is infeasible)
+                # huge-graph mode (auto's fallback when pattern is infeasible).
+                # Ultra-sparse graphs run the local multiplies on the
+                # serial-gather kernel (~10x XLA's gather at that density)
                 from .parallel import dist_halo
+                from .train import _edge_or_gather
 
-                dpair = dist_halo.DistHaloPair.from_csr_pair(a_t, a, P)
-                pair_kind = "halo"
+                engine = "gather" if _edge_or_gather(ds.graph) == "gather" else "xla"
+                dpair = dist_halo.DistHaloPair.from_csr_pair(
+                    a_t, a, P, engine=engine
+                )
+                pair_kind = "halo_gather" if engine == "gather" else "halo"
+                if engine == "gather":
+                    print("halo local engine: serial-gather", file=sys.stderr)
                 moved = P * sum(dpair.fwd.round_widths)
                 print(
                     f"halo exchange: {moved} rows/SpMM fwd moved "
@@ -593,9 +601,11 @@ def _train_dist_sage(opts, ds, config, hparams, params, opt_state, timers):
         mesh = dist.make_mesh(P)
         if opts.impl == "halo":
             from .parallel import dist_halo
+            from .train import _edge_or_gather
 
-            dpair = dist_halo.DistHaloPair.from_csr_pair(m, m_t, P)
-            pair_kind = "halo"
+            engine = "gather" if _edge_or_gather(ds.graph) == "gather" else "xla"
+            dpair = dist_halo.DistHaloPair.from_csr_pair(m, m_t, P, engine=engine)
+            pair_kind = "halo_gather" if engine == "gather" else "halo"
         elif opts.impl == "gather":
             if strategy != "ring":
                 print(

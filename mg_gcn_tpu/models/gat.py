@@ -81,8 +81,11 @@ def init_params(config: GATConfig, key: jax.Array | None = None) -> list[dict]:
             key, k1, k2, k3 = jax.random.split(key, 4)
             layer = dict(
                 W=init_lib.kaiming_uniform(k1, in_, H * out),
-                a_dst=init_lib.kaiming_uniform(k2, H, out),
-                a_src=init_lib.kaiming_uniform(k3, H, out),
+                # attention vectors scale with the head width (fan_in=out):
+                # a fan_in=H bound (~1.2) makes |scores| ~ 20 and saturates
+                # the edge softmax into vanishing gradients
+                a_dst=init_lib.kaiming_uniform(k2, out, H).T,
+                a_src=init_lib.kaiming_uniform(k3, out, H).T,
                 b=jnp.zeros(b_width, jnp.float32),
             )
         params.append(layer)

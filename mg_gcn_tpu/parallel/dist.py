@@ -847,6 +847,17 @@ def make_dist_train_step(
             )
         mat_spec = {k: shard_rows for k in GATHER_MAT_FIELDS}
         pair_spec = dict(fwd=mat_spec, bwd=mat_spec)
+    elif pair_kind == "halo_gather":
+        from . import dist_halo
+
+        if strategy != "ring":
+            raise ValueError(
+                "the halo pair has a single (ring) exchange schedule; "
+                f"strategy {strategy!r} is not available with "
+                "pair_kind='halo_gather'"
+            )
+        mat_spec = {k: shard_rows for k in dist_halo.GATHER_HALO_FIELDS}
+        pair_spec = dict(fwd=mat_spec, bwd=mat_spec)
     else:
         raise ValueError(f"unknown pair_kind {pair_kind!r}")
     params_spec = [
@@ -887,6 +898,14 @@ def make_dist_train_step(
             b = {k: pair["bwd"][k][0] for k in GATHER_MAT_FIELDS}
             agg_fwd = lambda h: dist_aggregate_gather(f, h, parts)
             agg_bwd = lambda g: dist_aggregate_gather(b, g, parts)
+        elif pair_kind == "halo_gather":
+            from . import dist_halo
+
+            strip = dist_halo.strip_shard_axis
+            f = {k: strip(pair["fwd"][k]) for k in dist_halo.GATHER_HALO_FIELDS}
+            b = {k: strip(pair["bwd"][k]) for k in dist_halo.GATHER_HALO_FIELDS}
+            agg_fwd = lambda h: dist_halo.dist_aggregate_halo_gather(f, h, parts)
+            agg_bwd = lambda g: dist_halo.dist_aggregate_halo_gather(b, g, parts)
         else:
             pack_fwd = pair["pack_fwd"][0]
             pack_bwd = pair["pack_bwd"][0]
@@ -929,6 +948,13 @@ def make_dist_train_step(
             pair_dicts = dict(
                 fwd={k: getattr(pair.fwd, k) for k in GATHER_MAT_FIELDS},
                 bwd={k: getattr(pair.bwd, k) for k in GATHER_MAT_FIELDS},
+            )
+        elif pair_kind == "halo_gather":
+            from . import dist_halo
+
+            pair_dicts = dict(
+                fwd={k: getattr(pair.fwd, k) for k in dist_halo.GATHER_HALO_FIELDS},
+                bwd={k: getattr(pair.bwd, k) for k in dist_halo.GATHER_HALO_FIELDS},
             )
         else:
             pair_dicts = dict(
@@ -1045,12 +1071,22 @@ def make_dist_sage_train_step(
                 f"strategy {strategy!r} is not available with pair_kind='gather'"
             )
         mat_spec = {k: shard_rows for k in GATHER_MAT_FIELDS}
+    elif pair_kind == "halo_gather":
+        from . import dist_halo
+
+        if strategy != "ring":
+            raise ValueError(
+                "the halo pair has a single (ring) exchange schedule; "
+                f"strategy {strategy!r} is not available with "
+                "pair_kind='halo_gather'"
+            )
+        mat_spec = {k: shard_rows for k in dist_halo.GATHER_HALO_FIELDS}
     else:
         raise ValueError(f"unknown pair_kind {pair_kind!r}")
     # autodiff provides the transpose (reverse permute), so only the forward
-    # matrix is shipped — except the gather pair, whose pallas kernel is not
-    # differentiable: it ships both directions and uses _exact_agg's VJP
-    if pair_kind == "gather":
+    # matrix is shipped — except the gather pairs, whose pallas kernel is not
+    # differentiable: they ship both directions and use _exact_agg's VJP
+    if pair_kind in ("gather", "halo_gather"):
         pair_spec = dict(fwd=mat_spec, bwd=mat_spec)
     else:
         pair_spec = dict(fwd=mat_spec)
@@ -1078,6 +1114,16 @@ def make_dist_sage_train_step(
             agg = _exact_agg(
                 lambda h: dist_aggregate_gather(f, h, parts),
                 lambda g: dist_aggregate_gather(b, g, parts),
+            )
+        elif pair_kind == "halo_gather":
+            from . import dist_halo
+
+            strip = dist_halo.strip_shard_axis
+            f = {k: strip(pair["fwd"][k]) for k in dist_halo.GATHER_HALO_FIELDS}
+            b = {k: strip(pair["bwd"][k]) for k in dist_halo.GATHER_HALO_FIELDS}
+            agg = _exact_agg(
+                lambda h: dist_halo.dist_aggregate_halo_gather(f, h, parts),
+                lambda g: dist_halo.dist_aggregate_halo_gather(b, g, parts),
             )
         else:
             from . import dist_halo
@@ -1123,6 +1169,13 @@ def make_dist_sage_train_step(
             pair_dicts = dict(
                 fwd={k: getattr(pair.fwd, k) for k in GATHER_MAT_FIELDS},
                 bwd={k: getattr(pair.bwd, k) for k in GATHER_MAT_FIELDS},
+            )
+        elif pair_kind == "halo_gather":
+            from . import dist_halo
+
+            pair_dicts = dict(
+                fwd={k: getattr(pair.fwd, k) for k in dist_halo.GATHER_HALO_FIELDS},
+                bwd={k: getattr(pair.bwd, k) for k in dist_halo.GATHER_HALO_FIELDS},
             )
         else:
             from . import dist_halo

@@ -50,6 +50,55 @@ def _round_up(x: int, to: int) -> int:
     return max((x + to - 1) // to * to, to)
 
 
+def _partition_halo_blocks(csr: CSRData, parts: int):
+    """One streaming pass over row slabs: compact per-(j, s) COO blocks with
+    halo-rebased columns + per-sender halo lists. Shared by the COO and
+    serial-gather halo builders.
+
+    Returns (loc_blocks, compact, halos, e_loc_max, h_total):
+      loc_blocks[j]  = (rows, cols, vals) of the diagonal block
+      compact[j][s]  = (rows, halo_cols, vals) of block A[j, (j+s+1) % P]
+                       with columns rebased into halo positions [0, w)
+      halos[k][s]    = the local row ids device k sends in round s
+    """
+    n = csr.nrows
+    m_loc = n // parts
+    S = max(parts - 1, 0)
+    indptr = csr.indptr
+    indices = csr.indices
+    halos: list[list[np.ndarray]] = [[None] * S for _ in range(parts)]
+    compact: list[list[tuple]] = [[None] * S for _ in range(parts)]
+    loc_blocks: list[tuple] = [None] * parts
+    e_loc_max, h_total = 1, 0
+    for j in range(parts):
+        r0, r1 = j * m_loc, (j + 1) * m_loc
+        e0, e1 = int(indptr[r0]), int(indptr[r1])
+        cols_j = indices[e0:e1]
+        rows_j = np.repeat(
+            np.arange(m_loc, dtype=np.int32),
+            np.diff(indptr[r0 : r1 + 1]).astype(np.int64),
+        )
+        data_j = csr.data[e0:e1]
+        dest = (cols_j // m_loc).astype(np.int16)
+        for k in range(parts):
+            sel = dest == k
+            rows = rows_j[sel]
+            cols = cols_j[sel] - k * m_loc
+            vals = data_j[sel].astype(np.float32)
+            if k == j:
+                loc_blocks[j] = (rows, cols.astype(np.int32), vals)
+                e_loc_max = max(e_loc_max, rows.size)
+            else:
+                s = (k - j - 1) % parts  # round in which A[j, k] computes
+                halo_cols, inv = np.unique(cols, return_inverse=True)
+                compact[j][s] = (rows, inv.astype(np.int32), vals)
+                # device k sends halo_cols (local row ids) to j, round s
+                halos[k][s] = halo_cols.astype(np.int32)
+                h_total += int(halo_cols.size)
+        del cols_j, rows_j, data_j, dest
+    return loc_blocks, compact, halos, e_loc_max, h_total
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=[
@@ -122,40 +171,9 @@ class DistHaloMat:
             )
         m_loc = n // parts
         S = max(parts - 1, 0)
-        indptr = csr.indptr
-        indices = csr.indices
-
-        # pass over row slabs: compact per-(j, s) blocks in int32
-        halos: list[list[np.ndarray]] = [[None] * S for _ in range(parts)]
-        compact: list[list[tuple]] = [[None] * S for _ in range(parts)]
-        loc_blocks: list[tuple] = [None] * parts
-        e_loc_max, h_total = 1, 0
-        for j in range(parts):
-            r0, r1 = j * m_loc, (j + 1) * m_loc
-            e0, e1 = int(indptr[r0]), int(indptr[r1])
-            cols_j = indices[e0:e1]
-            rows_j = np.repeat(
-                np.arange(m_loc, dtype=np.int32),
-                np.diff(indptr[r0 : r1 + 1]).astype(np.int64),
-            )
-            data_j = csr.data[e0:e1]
-            dest = (cols_j // m_loc).astype(np.int16)
-            for k in range(parts):
-                sel = dest == k
-                rows = rows_j[sel]
-                cols = cols_j[sel] - k * m_loc
-                vals = data_j[sel].astype(np.float32)
-                if k == j:
-                    loc_blocks[j] = (rows, cols.astype(np.int32), vals)
-                    e_loc_max = max(e_loc_max, rows.size)
-                else:
-                    s = (k - j - 1) % parts  # round in which A[j, k] computes
-                    halo_cols, inv = np.unique(cols, return_inverse=True)
-                    compact[j][s] = (rows, inv.astype(np.int32), vals)
-                    # device k sends halo_cols (local row ids) to j, round s
-                    halos[k][s] = halo_cols.astype(np.int32)
-                    h_total += int(halo_cols.size)
-            del cols_j, rows_j, data_j, dest
+        loc_blocks, compact, halos, e_loc_max, h_total = _partition_halo_blocks(
+            csr, parts
+        )
 
         e_loc = _round_up(e_loc_max, pad_to)
         pad_unit = min(pad_to, 128)
@@ -223,6 +241,185 @@ class DistHaloMat:
         return rows * d * itemsize
 
 
+def _coo_to_csr(rows: np.ndarray, cols: np.ndarray, vals, n_rows: int, n_cols: int):
+    """Block COO (rows ascending — the slab pass emits CSR order) → CSRData."""
+    indptr = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(np.bincount(rows, minlength=n_rows), out=indptr[1:])
+    return CSRData(indptr, cols, np.asarray(vals, np.float32), (n_rows, n_cols))
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "loc_idx",
+        "loc_w",
+        "loc_meta",
+        "rem_idx",
+        "rem_w",
+        "rem_meta",
+        "send_idx",
+    ],
+    meta_fields=["n", "parts", "nnz", "halo_width", "halo_total", "round_widths"],
+)
+@dataclass(frozen=True)
+class DistHaloGatherMat:
+    """Halo-exchange matrix with serial-gather local schedules.
+
+    Same exchange structure as :class:`DistHaloMat` (compact per-round halo
+    lists, shift-(s+1) ppermutes) but every local block multiply runs on the
+    windowed serial-gather kernel (ops/spmm_gather.py) instead of XLA
+    gather/segment-sum — ~10x at ultra-sparse per-device block density
+    (papers100M-scale, BASELINE config 3). Per-round schedules share one
+    step count across devices (no-op padded) so they stack."""
+
+    loc_idx: jax.Array  # i32[P, S_loc, E_BLK]
+    loc_w: jax.Array  # f32[P, S_loc, E_BLK]
+    loc_meta: jax.Array  # i32[P, S_loc]
+    rem_idx: tuple  # S arrays i32[P, S_s, E_BLK]
+    rem_w: tuple
+    rem_meta: tuple
+    send_idx: tuple  # S arrays i32[P, w_s]
+    n: int
+    parts: int
+    nnz: int
+    halo_width: int
+    halo_total: int
+    round_widths: tuple
+
+    @property
+    def rows_per_shard(self) -> int:
+        return self.n // self.parts
+
+    @staticmethod
+    def from_csr(csr: CSRData, parts: int, pad_to: int = 512) -> "DistHaloGatherMat":
+        from ..ops import spmm_gather as sg
+
+        n = csr.nrows
+        if n % parts:
+            raise ValueError(
+                f"n ({n}) must be divisible by the mesh size ({parts})"
+            )
+        m_loc = n // parts
+        S = max(parts - 1, 0)
+        loc_blocks, compact, halos, _, h_total = _partition_halo_blocks(csr, parts)
+        pad_unit = min(pad_to, 128)
+        widths = tuple(
+            _round_up(max(halos[j][s].size for j in range(parts)), pad_unit)
+            for s in range(S)
+        )
+
+        def scheds_of(blocks):
+            """Uniform-step gather schedules for one round across devices."""
+            out = [sg.gather_schedule_host(b) for b in blocks]
+            S_max = max(o["meta"].shape[0] for o in out)
+            return [
+                o
+                if o["meta"].shape[0] == S_max
+                else sg.gather_schedule_host(b, pad_steps_to=S_max)
+                for o, b in zip(out, blocks)
+            ]
+
+        loc_sched = scheds_of(
+            [_coo_to_csr(*loc_blocks[j], m_loc, m_loc) for j in range(parts)]
+        )
+        rem_idx, rem_w, rem_meta, send_idx = [], [], [], []
+        for s in range(S):
+            blocks = [
+                _coo_to_csr(*compact[j][s], m_loc, widths[s]) for j in range(parts)
+            ]
+            sch = scheds_of(blocks)
+            rem_idx.append(jnp.stack([o["idx"] for o in sch]))
+            rem_w.append(jnp.stack([o["w"] for o in sch]))
+            rem_meta.append(jnp.stack([o["meta"] for o in sch]))
+            si = np.zeros((parts, widths[s]), np.int32)
+            for j in range(parts):
+                hc = halos[j][s]
+                si[j, : hc.size] = hc
+            send_idx.append(jnp.asarray(si))
+        return DistHaloGatherMat(
+            loc_idx=jnp.stack([o["idx"] for o in loc_sched]),
+            loc_w=jnp.stack([o["w"] for o in loc_sched]),
+            loc_meta=jnp.stack([o["meta"] for o in loc_sched]),
+            rem_idx=tuple(rem_idx),
+            rem_w=tuple(rem_w),
+            rem_meta=tuple(rem_meta),
+            send_idx=tuple(send_idx),
+            n=n,
+            parts=parts,
+            nnz=csr.nnz,
+            halo_width=max(widths, default=0),
+            halo_total=h_total,
+            round_widths=widths,
+        )
+
+    comm_bytes_per_spmm = DistHaloMat.comm_bytes_per_spmm
+
+
+GATHER_HALO_FIELDS = (
+    "loc_idx",
+    "loc_w",
+    "loc_meta",
+    "rem_idx",
+    "rem_w",
+    "rem_meta",
+    "send_idx",
+)
+
+
+def _halo_gather_mat(idx, w, meta, m_loc: int, n_cols: int):
+    from ..ops import spmm_gather as sg
+
+    n_out_pad = _round_up(m_loc, sg.R_ROWS)
+    n_in_pad = _round_up(n_cols, sg.W_ROWS)
+    win_bits = max(int(np.ceil(np.log2(max(n_in_pad // sg.W_ROWS, 2)))), 1)
+    return sg.GatherMat(
+        idx=idx,
+        w=w,
+        meta=meta,
+        n_out=m_loc,
+        n_in=n_cols,
+        n_out_pad=n_out_pad,
+        n_in_pad=n_in_pad,
+        nnz=0,  # diagnostic only
+        win_bits=win_bits,
+        fill=1.0,
+    )
+
+
+def dist_aggregate_halo_gather(mat_local: dict, h: jax.Array, parts: int) -> jax.Array:
+    """Halo-exchange SpMM with serial-gather local multiplies (the
+    ultra-sparse engine of :func:`dist_aggregate_halo`). Round widths come
+    from the send-list shapes (static under jit)."""
+    from ..ops.spmm_gather import spmm_gather
+
+    m_loc = h.shape[0]
+    round_widths = tuple(si.shape[-1] for si in mat_local["send_idx"])
+    c = spmm_gather(
+        _halo_gather_mat(
+            mat_local["loc_idx"], mat_local["loc_w"], mat_local["loc_meta"],
+            m_loc, m_loc,
+        ),
+        h,
+    )
+    for s in range(parts - 1):
+        shift = s + 1
+        perm = [(i, (i - shift) % parts) for i in range(parts)]
+        halo = jax.lax.ppermute(
+            h[mat_local["send_idx"][s]], GRAPH_AXIS, perm=perm
+        )
+        c = c + spmm_gather(
+            _halo_gather_mat(
+                mat_local["rem_idx"][s],
+                mat_local["rem_w"][s],
+                mat_local["rem_meta"][s],
+                m_loc,
+                round_widths[s],
+            ),
+            halo,
+        )
+    return c.astype(h.dtype)
+
+
 @functools.partial(
     jax.tree_util.register_dataclass, data_fields=["fwd", "bwd"], meta_fields=[]
 )
@@ -232,10 +429,13 @@ class DistHaloPair:
     bwd: DistHaloMat
 
     @staticmethod
-    def from_csr_pair(csr_fwd, csr_bwd, parts, **kw) -> "DistHaloPair":
+    def from_csr_pair(
+        csr_fwd, csr_bwd, parts, engine: str = "xla", **kw
+    ) -> "DistHaloPair":
+        make = DistHaloGatherMat.from_csr if engine == "gather" else DistHaloMat.from_csr
         return DistHaloPair(
-            DistHaloMat.from_csr(csr_fwd, parts, **kw),
-            DistHaloMat.from_csr(csr_bwd, parts, **kw),
+            make(csr_fwd, parts, **kw),
+            make(csr_bwd, parts, **kw),
         )
 
     def shardings(self, mesh: Mesh):

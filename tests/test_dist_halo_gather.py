@@ -1,0 +1,88 @@
+"""Halo exchange with serial-gather local multiplies vs the XLA halo engine
+(4 CPU devices): identical training trajectories for GCN and SAGE."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mg_gcn_tpu import sparse
+from mg_gcn_tpu.models.gcn import GCNConfig, init_params
+from mg_gcn_tpu.nn import adam
+from mg_gcn_tpu.parallel import dist, dist_halo
+
+
+@pytest.fixture(scope="module")
+def problem():
+    parts = 4
+    n = 256
+    g = sparse.random_graph(n, 5, seed=21, weights="random")
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.standard_normal((n, 10)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 4, n).astype(np.int32))
+    a = sparse.normalize(g, axis=True)
+    a_t = sparse.transpose(a)
+    mesh = dist.make_mesh(parts)
+    xla_pair = dist_halo.DistHaloPair.from_csr_pair(a_t, a, parts)
+    g_pair = dist_halo.DistHaloPair.from_csr_pair(a_t, a, parts, engine="gather")
+    return parts, n, g, x, y, a, a_t, mesh, xla_pair, g_pair
+
+
+def test_halo_gather_structure(problem):
+    parts, n, g, x, y, a, a_t, mesh, xla_pair, g_pair = problem
+    assert isinstance(g_pair.fwd, dist_halo.DistHaloGatherMat)
+    # same exchange structure: identical round widths and halo volume
+    assert g_pair.fwd.round_widths == xla_pair.fwd.round_widths
+    assert g_pair.fwd.halo_total == xla_pair.fwd.halo_total
+    for s in range(parts - 1):
+        np.testing.assert_array_equal(
+            np.asarray(g_pair.fwd.send_idx[s]), np.asarray(xla_pair.fwd.send_idx[s])
+        )
+
+
+@pytest.mark.parametrize("parity", [True, False])
+def test_halo_gather_gcn_matches_xla_engine(problem, parity):
+    parts, n, g, x, y, a, a_t, mesh, xla_pair, g_pair = problem
+    config = GCNConfig(sizes=(10, 8, 4), parity=parity)
+    params = init_params(config)
+    opt = adam.adam_init(params)
+    step_x = dist.make_dist_train_step(config, mesh, n, pair_kind="halo")
+    step_g = dist.make_dist_train_step(config, mesh, n, pair_kind="halo_gather")
+
+    px, ox = params, opt
+    pg_, og = params, opt
+    for it in range(2):
+        px, ox, loss_x, acc_x = step_x(px, ox, xla_pair, x, y)
+        pg_, og, loss_g, acc_g = step_g(pg_, og, g_pair, x, y)
+        np.testing.assert_allclose(
+            float(loss_g), float(loss_x), rtol=1e-5, err_msg=f"it{it}"
+        )
+        np.testing.assert_allclose(float(acc_g), float(acc_x), rtol=1e-6)
+    for lx, lg in zip(px, pg_):
+        for k in lx:
+            np.testing.assert_allclose(
+                np.asarray(lg[k]), np.asarray(lx[k]), rtol=1e-4, atol=1e-5, err_msg=k
+            )
+
+
+def test_halo_gather_sage_matches_xla_engine(problem):
+    parts, n, g, x, y, a, a_t, mesh, _, _ = problem
+    from mg_gcn_tpu.models.sage import SAGEConfig, init_params as sage_init
+
+    m = sparse.normalize(g, axis=False)
+    m_t = sparse.transpose(m)
+    xla_pair = dist_halo.DistHaloPair.from_csr_pair(m, m_t, parts)
+    g_pair = dist_halo.DistHaloPair.from_csr_pair(m, m_t, parts, engine="gather")
+    config = SAGEConfig(sizes=(10, 8, 4))
+    params = sage_init(config)
+    opt = adam.adam_init(params)
+    step_x = dist.make_dist_sage_train_step(config, mesh, n, pair_kind="halo")
+    step_g = dist.make_dist_sage_train_step(config, mesh, n, pair_kind="halo_gather")
+    px, ox, loss_x, acc_x = step_x(params, opt, xla_pair, x, y)
+    pg_, og, loss_g, acc_g = step_g(params, opt, g_pair, x, y)
+    np.testing.assert_allclose(float(loss_g), float(loss_x), rtol=1e-5)
+    for lx, lg in zip(px, pg_):
+        for k in lx:
+            np.testing.assert_allclose(
+                np.asarray(lg[k]), np.asarray(lx[k]), rtol=1e-4, atol=1e-5, err_msg=k
+            )

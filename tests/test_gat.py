@@ -131,7 +131,7 @@ def test_gat_trains_on_planted_communities():
         return params, opt, loss, acc
 
     accs, losses = [], []
-    for _ in range(12):
+    for _ in range(25):  # the width-scaled attention init starts gentler
         params, opt, loss, acc = step(params, opt)
         losses.append(float(loss))
         accs.append(float(acc))

@@ -515,7 +515,14 @@ def _train_dist(opts, ds, config, hparams, params, opt_state, timers):
                 from .parallel import dist_halo
                 from .train import _edge_or_gather
 
-                engine = "gather" if _edge_or_gather(ds.graph) == "gather" else "xla"
+                # gather engine on real TPU only (interpret mode off-TPU
+                # would make CPU rehearsals pathological)
+                engine = (
+                    "gather"
+                    if jax.default_backend() in ("tpu", "axon")
+                    and _edge_or_gather(ds.graph) == "gather"
+                    else "xla"
+                )
                 dpair = dist_halo.DistHaloPair.from_csr_pair(
                     a_t, a, P, engine=engine
                 )
@@ -603,7 +610,12 @@ def _train_dist_sage(opts, ds, config, hparams, params, opt_state, timers):
             from .parallel import dist_halo
             from .train import _edge_or_gather
 
-            engine = "gather" if _edge_or_gather(ds.graph) == "gather" else "xla"
+            engine = (
+                "gather"
+                if jax.default_backend() in ("tpu", "axon")
+                and _edge_or_gather(ds.graph) == "gather"
+                else "xla"
+            )
             dpair = dist_halo.DistHaloPair.from_csr_pair(m, m_t, P, engine=engine)
             pair_kind = "halo_gather" if engine == "gather" else "halo"
         elif opts.impl == "gather":

@@ -1,5 +1,15 @@
 """Pallas TPU SpMM kernels over a 2-D tiled sparse format.
 
+**Status: debug/reference engine, interpret-mode only on v5e.** Its ELL
+gather (``B_block[lcol[:, k]]``) needs a cross-vreg vector gather Mosaic
+does not provide on this generation (PERF.md "Hardware constraints"), so it
+never compiles to real v5e hardware. The production engines that superseded
+it: dense/block bit-pattern kernels (spmm_pattern*), the edge-tile one-hot
+MXU kernel (spmm_edges), and the windowed serial-gather kernel
+(spmm_gather). It stays as an independent cross-check implementation in
+the golden tests (tests/test_golden.py) and as the design record for a
+future TPU generation with a wider dynamic_gather.
+
 Design (TPU-first, not a CUDA translation): the sparse matrix is cut into a
 grid of (BR × BC) tiles on the host. For each row-block the kernel keeps a
 (BR, d) accumulator in VMEM and iterates over column-blocks; Pallas's grid

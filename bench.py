@@ -273,18 +273,32 @@ def main() -> None:
                 edge_tile_schedule_host,
             )
 
-            wspath = os.path.join(CACHE, f"weighted_edge_sched_{nnz}.npz")
+            from mg_gcn_tpu.ops import spmm_edges as _se
+
+            wspath = os.path.join(
+                CACHE,
+                f"weighted_edge_sched_{nnz}_v{_se.K}-{_se.CPS}-{_se.BCW}.npz",
+            )
+            wfs = None
             if os.path.exists(wspath):
                 with np.load(wspath) as dd:
-                    wfs = {k[2:]: dd[k] for k in dd.files if k.startswith("f_")}
-                    wbs = {k[2:]: dd[k] for k in dd.files if k.startswith("b_")}
-            else:
+                    # fingerprint the rng-drawn edge values: a change in the
+                    # preceding draw order would silently mismatch weights
+                    if "fingerprint" in dd.files and np.array_equal(
+                        dd["fingerprint"], wvals[:8]
+                    ):
+                        wfs = {k[2:]: dd[k] for k in dd.files if k.startswith("f_")}
+                        wbs = {k[2:]: dd[k] for k in dd.files if k.startswith("b_")}
+                    else:
+                        print("weighted cache stale (values); rebuilding", file=sys.stderr)
+            if wfs is None:
                 wa = _hs2.normalize(wgraph, axis=True)
                 wa_t = _hs2.transpose(wa)
                 wfs = edge_tile_schedule_host(wa_t)
                 wbs = edge_tile_schedule_host(wa)
                 np.savez(
                     wspath,
+                    fingerprint=wvals[:8],
                     **{"f_" + k: np.asarray(v) for k, v in wfs.items()},
                     **{"b_" + k: np.asarray(v) for k, v in wbs.items()},
                 )
@@ -355,11 +369,21 @@ def main() -> None:
             pconfig = GCNConfig(sizes=(100, 256, 256, 48))
             t0 = time.time()
             pimpl = os.environ.get("MG_GCN_BENCH_PRODUCTS_IMPL", "auto")
-            spath = os.path.join(CACHE, "products_gather_sched.npz")
-            if pimpl == "auto":
+            from mg_gcn_tpu.ops import spmm_gather as _sg
+
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            # version the cache by the kernel-layout constants the schedule
+            # bakes in — a stale cache after a layout change would silently
+            # feed the new kernel wrong schedules
+            spath = os.path.join(
+                CACHE,
+                f"products_gather_sched_v{_sg.E_BLK}-{_sg.LIVE_BITS}-{_sg.W_BITS}.npz",
+            )
+            if pimpl == "auto" and on_tpu:
                 # products is in the serial-gather regime; the schedule is
                 # pure host work (~160 s at this scale) — cache it on disk
-                # and only pay the device upload per run
+                # and only pay the device upload per run. TPU only: the
+                # pallas kernel interprets (pathologically) off-TPU.
                 from mg_gcn_tpu import sparse as _hs
                 from mg_gcn_tpu.ops.spmm import AggPair as _AP
                 from mg_gcn_tpu.ops.spmm_gather import (

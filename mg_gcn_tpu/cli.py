@@ -513,16 +513,9 @@ def _train_dist(opts, ds, config, hparams, params, opt_state, timers):
                 # Ultra-sparse graphs run the local multiplies on the
                 # serial-gather kernel (~10x XLA's gather at that density)
                 from .parallel import dist_halo
-                from .train import _edge_or_gather
+                from .train import halo_engine
 
-                # gather engine on real TPU only (interpret mode off-TPU
-                # would make CPU rehearsals pathological)
-                engine = (
-                    "gather"
-                    if jax.default_backend() in ("tpu", "axon")
-                    and _edge_or_gather(ds.graph) == "gather"
-                    else "xla"
-                )
+                engine = halo_engine(ds.graph, P)
                 dpair = dist_halo.DistHaloPair.from_csr_pair(
                     a_t, a, P, engine=engine
                 )
@@ -608,14 +601,9 @@ def _train_dist_sage(opts, ds, config, hparams, params, opt_state, timers):
         mesh = dist.make_mesh(P)
         if opts.impl == "halo":
             from .parallel import dist_halo
-            from .train import _edge_or_gather
+            from .train import halo_engine
 
-            engine = (
-                "gather"
-                if jax.default_backend() in ("tpu", "axon")
-                and _edge_or_gather(ds.graph) == "gather"
-                else "xla"
-            )
+            engine = halo_engine(ds.graph, P)
             dpair = dist_halo.DistHaloPair.from_csr_pair(m, m_t, P, engine=engine)
             pair_kind = "halo_gather" if engine == "gather" else "halo"
         elif opts.impl == "gather":

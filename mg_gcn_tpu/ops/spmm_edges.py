@@ -568,6 +568,45 @@ class TSched:
         return self.s0.shape[0]
 
 
+def pad_edge_schedule(sched: dict, s_target: int) -> dict:
+    """Append no-op steps (revisit the last row-tile with zero-weight
+    slots, first=0) to a host edge-tile schedule — O(pad) step-count
+    equalization for stacking block schedules."""
+    S = int(sched["meta"].shape[0])
+    if s_target == S:
+        return sched
+    if s_target < S or s_target % 8:
+        raise ValueError(f"s_target ({s_target}) must be a multiple of 8 >= {S}")
+    pad = s_target - S
+    tcw_bits = int(sched["tcw_bits"])
+    last_tr = int(sched["meta"][-1]) >> (tcw_bits + 1)
+    pad_meta = np.full(pad, last_tr << (tcw_bits + 1), np.int32)
+    return {
+        **sched,
+        "idx": np.concatenate(
+            [sched["idx"], np.zeros((pad * CPS, K), np.int32)]
+        ),
+        "w": np.concatenate([sched["w"], np.zeros((pad * CPS, K), np.float32)]),
+        "meta": np.concatenate([np.asarray(sched["meta"]), pad_meta]),
+        "chi": np.concatenate([sched["chi"], np.zeros((pad, CPS), np.int32)]),
+    }
+
+
+def transposed_schedule_host(
+    sched: dict, pad_steps_to: int | None = None
+) -> dict:
+    """Host core of :func:`transposed_schedule`, from a host schedule dict;
+    returns {"s0", "tmeta"} numpy arrays."""
+    return _transposed_core(
+        np.asarray(sched["meta"]),
+        int(sched["tcw_bits"]),
+        int(sched["n_in_pad"]),
+        int(sched["n_out_pad"]),
+        int(sched["br"]),
+        pad_steps_to,
+    )
+
+
 def transposed_schedule(
     mat: EdgeTileMat, device=None, pad_steps_to: int | None = None
 ) -> TSched:
@@ -576,9 +615,23 @@ def transposed_schedule(
     The transposed product writes (BCW, d) output blocks per column window;
     grouping steps by tcw makes those revisits consecutive (Pallas
     accumulation semantics). Host cost is one argsort of S step ids."""
-    meta = np.asarray(mat.meta)
+    core = _transposed_core(
+        np.asarray(mat.meta), mat.tcw_bits, mat.n_in_pad, mat.n_out_pad,
+        mat.br, pad_steps_to,
+    )
+    put = lambda x: jax.device_put(x, device) if device is not None else jnp.asarray(x)
+    return TSched(s0=put(core["s0"]), tmeta=put(core["tmeta"]))
+
+
+def _transposed_core(
+    meta: np.ndarray,
+    tcw_bits: int,
+    n_in_pad: int,
+    n_out_pad: int,
+    br: int,
+    pad_steps_to: int | None,
+) -> dict:
     S = meta.shape[0]
-    tcw_bits = mat.tcw_bits
     tcw = (meta >> 1) & ((1 << tcw_bits) - 1)
     tr = meta.astype(np.int64) >> (tcw_bits + 1)
     order = np.argsort(tcw, kind="stable")  # steps already tr-major
@@ -587,7 +640,7 @@ def transposed_schedule(
     t_tr = tr[order]
     dummy = np.zeros(s0.size, np.int64)
     # dummy zero-init steps for column windows with no edges
-    n_tcw = mat.n_in_pad // BCW
+    n_tcw = n_in_pad // BCW
     missing = np.setdiff1d(np.arange(n_tcw, dtype=np.int64), np.unique(t_tcw))
     if missing.size:
         s0 = np.concatenate([s0, np.zeros(missing.size, np.int64)])
@@ -613,7 +666,7 @@ def transposed_schedule(
             t_tr = np.concatenate([t_tr, np.zeros(pad, np.int64)])
             dummy = np.concatenate([dummy, np.ones(pad, np.int64)])
             first = np.concatenate([first, np.zeros(pad, np.int64)])
-    tr_bits = max(int(np.ceil(np.log2(max(mat.n_out_pad // mat.br, 2)))), 1)
+    tr_bits = max(int(np.ceil(np.log2(max(n_out_pad // br, 2)))), 1)
     if tr_bits + tcw_bits + 2 > 31:
         raise ValueError("graph too large for the transposed edge-tile schedule")
     # two scalar-prefetch words per step: keep within the ~1 MB SMEM budget
@@ -625,8 +678,7 @@ def transposed_schedule(
     tmeta = ((t_tr << (tcw_bits + 2)) | (t_tcw << 2) | (first << 1) | dummy).astype(
         np.int32
     )
-    put = lambda x: jax.device_put(x, device) if device is not None else jnp.asarray(x)
-    return TSched(s0=put(s0.astype(np.int32)), tmeta=put(tmeta))
+    return dict(s0=s0.astype(np.int32), tmeta=tmeta)
 
 
 def _edge_t_kernel(

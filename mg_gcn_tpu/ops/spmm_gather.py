@@ -240,6 +240,27 @@ def gather_schedule_host(csr: CSRData, pad_steps_to: int | None = None) -> dict:
     )
 
 
+def pad_schedule_steps(sched: dict, s_target: int) -> dict:
+    """Append no-op steps (revisit the last super-tile, first=0, live=0) to
+    a host schedule — O(pad) step-count equalization for stacking block
+    schedules, instead of rebuilding the whole schedule."""
+    S = int(sched["meta"].shape[0])
+    if s_target == S:
+        return sched
+    if s_target < S or s_target % 8:
+        raise ValueError(f"s_target ({s_target}) must be a multiple of 8 >= {S}")
+    pad = s_target - S
+    win_bits = int(sched["win_bits"])
+    last_st = int(sched["meta"][-1]) >> (win_bits + 1 + LIVE_BITS)
+    pad_meta = np.full(pad, last_st << (win_bits + 1 + LIVE_BITS), np.int32)
+    return {
+        **sched,
+        "idx": np.concatenate([sched["idx"], np.zeros((pad, E_BLK), np.int32)]),
+        "w": np.concatenate([sched["w"], np.zeros((pad, E_BLK), np.float32)]),
+        "meta": np.concatenate([np.asarray(sched["meta"]), pad_meta]),
+    }
+
+
 def gather_mat_from_host(sched: dict, device=None) -> GatherMat:
     """Device upload of a host schedule (``gather_schedule_host`` output or
     an npz round-trip of it — the build is pure host work, so callers at

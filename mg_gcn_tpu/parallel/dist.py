@@ -346,12 +346,9 @@ class DistGatherMat:
             for j in range(parts)
         ]
         S_max = max(s["meta"].shape[0] for row in scheds for s in row)
-        for j in range(parts):
-            for s in range(parts):
-                if scheds[j][s]["meta"].shape[0] < S_max:
-                    scheds[j][s] = sg.gather_schedule_host(
-                        blocks[j][(j + s) % parts], pad_steps_to=S_max
-                    )
+        scheds = [
+            [sg.pad_schedule_steps(s, S_max) for s in row] for row in scheds
+        ]
         stack = lambda k: jnp.stack(
             [jnp.stack([scheds[j][s][k] for s in range(parts)]) for j in range(parts)]
         )

@@ -45,14 +45,7 @@ from ..models.gat import GATConfig
 from ..nn import adam
 from ..ops import elementwise as ew
 from ..ops.edge_attention import sddmm, spmm_attn
-from ..ops.spmm_edges import (
-    EdgeTileMat,
-    TSched,
-    _pick_br,
-    edge_tile_mat_from_csr,
-    slot_valid_mask,
-    transposed_schedule,
-)
+from ..ops.spmm_edges import EdgeTileMat, TSched, _pick_br, slot_valid_mask
 from .dist import GRAPH_AXIS, _local_xent_terms
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -120,50 +113,53 @@ def build_dist_gat_graph(
     # one geometry for every block: br/paired from the average block density
     br, paired = _pick_br(m_loc, m_loc, max(csr.nnz // (parts * parts), 1))
 
-    mats = [[None] * parts for _ in range(parts)]
-    S_max = 0
-    for j in range(parts):
-        for s in range(parts):
-            blk = blocks[j][(j + s) % parts]
-            m = edge_tile_mat_from_csr(blk, dtype=dtype, br=br, paired=paired)
-            mats[j][s] = m
-            S_max = max(S_max, m.num_steps)
-    scheds = [[None] * parts for _ in range(parts)]
-    S2_max = 0
-    for j in range(parts):
-        for s in range(parts):
-            if mats[j][s].num_steps < S_max:
-                blk = blocks[j][(j + s) % parts]
-                mats[j][s] = edge_tile_mat_from_csr(
-                    blk, dtype=dtype, br=br, paired=paired, pad_steps_to=S_max
-                )
-            scheds[j][s] = transposed_schedule(mats[j][s])
-            S2_max = max(S2_max, scheds[j][s].num_steps)
-    for j in range(parts):
-        for s in range(parts):
-            if scheds[j][s].num_steps < S2_max:
-                scheds[j][s] = transposed_schedule(
-                    mats[j][s], pad_steps_to=S2_max
-                )
-
-    stack = lambda get: jnp.stack(
-        [jnp.stack([get(j, s) for s in range(parts)]) for j in range(parts)]
+    from ..ops.spmm_edges import (
+        edge_tile_schedule_host,
+        pad_edge_schedule,
+        transposed_schedule_host,
     )
-    m00 = mats[0][0]
+
+    scheds = [
+        [
+            edge_tile_schedule_host(
+                blocks[j][(j + s) % parts], dtype=dtype, br=br, paired=paired
+            )
+            for s in range(parts)
+        ]
+        for j in range(parts)
+    ]
+    S_max = max(s["meta"].shape[0] for row in scheds for s in row)
+    scheds = [[pad_edge_schedule(s, S_max) for s in row] for row in scheds]
+    tscheds = [[transposed_schedule_host(s) for s in row] for row in scheds]
+    S2_max = max(t["tmeta"].shape[0] for row in tscheds for t in row)
+    tscheds = [
+        [
+            t
+            if t["tmeta"].shape[0] == S2_max
+            else transposed_schedule_host(s, pad_steps_to=S2_max)
+            for s, t in zip(srow, trow)
+        ]
+        for srow, trow in zip(scheds, tscheds)
+    ]
+
+    m00 = scheds[0][0]
+    st = lambda key, src: jnp.stack(
+        [jnp.stack([jnp.asarray(src[j][s][key]) for s in range(parts)]) for j in range(parts)]
+    )
     return DistGatGraph(
-        idx=stack(lambda j, s: mats[j][s].idx),
-        meta=stack(lambda j, s: mats[j][s].meta),
-        chi=stack(lambda j, s: mats[j][s].chi),
-        ts0=stack(lambda j, s: scheds[j][s].s0),
-        tmeta=stack(lambda j, s: scheds[j][s].tmeta),
+        idx=st("idx", scheds),
+        meta=st("meta", scheds),
+        chi=st("chi", scheds),
+        ts0=st("s0", tscheds),
+        tmeta=st("tmeta", tscheds),
         n=n,
         parts=parts,
         m_loc=m_loc,
-        n_out_pad=m00.n_out_pad,
-        n_in_pad=m00.n_in_pad,
-        br=m00.br,
-        tcw_bits=m00.tcw_bits,
-        paired=m00.paired,
+        n_out_pad=int(m00["n_out_pad"]),
+        n_in_pad=int(m00["n_in_pad"]),
+        br=int(m00["br"]),
+        tcw_bits=int(m00["tcw_bits"]),
+        paired=bool(m00["paired"]),
         dtype_name=dtype,
         nnz=csr.nnz,
     )

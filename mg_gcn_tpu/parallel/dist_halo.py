@@ -312,12 +312,7 @@ class DistHaloGatherMat:
             """Uniform-step gather schedules for one round across devices."""
             out = [sg.gather_schedule_host(b) for b in blocks]
             S_max = max(o["meta"].shape[0] for o in out)
-            return [
-                o
-                if o["meta"].shape[0] == S_max
-                else sg.gather_schedule_host(b, pad_steps_to=S_max)
-                for o, b in zip(out, blocks)
-            ]
+            return [sg.pad_schedule_steps(o, S_max) for o in out]
 
         loc_sched = scheds_of(
             [_coo_to_csr(*loc_blocks[j], m_loc, m_loc) for j in range(parts)]

@@ -29,22 +29,52 @@ from .timers import TimerRegistry
 from .ops.spmm_pattern import MEM_BUDGET as PATTERN_MEM_BUDGET  # noqa: E402
 
 
+def _gather_feasible(n_out: int, n_in: int, nnz: int) -> bool:
+    """Whether a (n_out × n_in, nnz) matrix fits one serial-gather schedule
+    (SMEM step budget + packed-meta bit budget)."""
+    from .ops import spmm_gather
+
+    n_st = -(-max(n_out, 1) // spmm_gather.R_ROWS)
+    n_win = -(-max(n_in, 1) // spmm_gather.W_ROWS)
+    # conservative: actual S <= nnz/E_BLK + groups (<= n_st*n_win) +
+    # dummy/pad steps (<= n_st + 8)
+    steps_est = nnz // spmm_gather.E_BLK + n_st * n_win + n_st + 16
+    return steps_est < spmm_gather.MAX_STEPS_G and n_st * n_win <= 1 << 18
+
+
 def _edge_or_gather(graph: CSRData) -> str:
     """Dispatch between the two O(nnz) kernels by expected edge-tile slot
     fill (PERF.md: ~2.3/fill vs ~7.8 cyc/edge => crossover fill ~0.3)."""
-    from .ops import spmm_edges, spmm_gather
+    from .ops import spmm_edges
 
     fill = spmm_edges.expected_fill(graph.nrows, graph.ncols, graph.nnz)
     if fill >= 0.3:
         return "edge"
-    n_st = -(-max(graph.nrows, 1) // spmm_gather.R_ROWS)
-    n_win = -(-max(graph.ncols, 1) // spmm_gather.W_ROWS)
-    # conservative: actual S <= nnz/E_BLK + groups (<= n_st*n_win) +
-    # dummy/pad steps (<= n_st + 8)
-    steps_est = graph.nnz // spmm_gather.E_BLK + n_st * n_win + n_st + 16
-    if steps_est < spmm_gather.MAX_STEPS_G and n_st * n_win <= 1 << 18:
+    if _gather_feasible(graph.nrows, graph.ncols, graph.nnz):
         return "gather"
     return "edge"  # its builder falls back to COO/XLA if infeasible
+
+
+def halo_engine(graph: CSRData, parts: int) -> str:
+    """Local-multiply engine for the distributed halo mode: 'gather' on TPU
+    in the ultra-sparse regime, else 'xla'.
+
+    The feasibility caps apply to the PER-BLOCK schedules — (n/P × n/P)
+    diagonal blocks holding at most a row slab's edges — not to the global
+    matrix, which at papers100M scale exceeds the single-schedule caps by
+    design (that is why the graph is sharded)."""
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        return "xla"  # interpret-mode pallas off TPU is pathological
+    from .ops import spmm_edges
+
+    fill = spmm_edges.expected_fill(graph.nrows, graph.ncols, graph.nnz)
+    m_loc = max(graph.nrows // max(parts, 1), 1)
+    slab_nnz = -(-graph.nnz // max(parts, 1))  # upper bound per block
+    if fill < 0.3 and _gather_feasible(m_loc, m_loc, slab_nnz):
+        return "gather"
+    return "xla"
 
 
 def build_agg_pair(

@@ -86,3 +86,28 @@ def test_halo_gather_sage_matches_xla_engine(problem):
             np.testing.assert_allclose(
                 np.asarray(lg[k]), np.asarray(lx[k]), rtol=1e-4, atol=1e-5, err_msg=k
             )
+
+
+def test_halo_engine_gate(monkeypatch):
+    """Gate math: per-BLOCK feasibility (papers100M-scale global graphs
+    exceed the single-schedule caps by design), TPU-backend requirement."""
+    import jax
+
+    from mg_gcn_tpu import train as train_mod
+
+    class G:  # only .nrows/.ncols/.nnz are read by the gate
+        def __init__(self, n, nnz):
+            self.nrows = self.ncols = n
+            self.nnz = nnz
+
+    # off TPU: always xla
+    assert train_mod.halo_engine(G(16_000_000, 208_000_000), 8) == "xla"
+
+    monkeypatch.setattr(
+        jax, "default_backend", lambda: "tpu"
+    )
+    # papers-rehearsal scale: global caps would fail, per-block caps pass
+    assert not train_mod._gather_feasible(16_000_000, 16_000_000, 208_000_000)
+    assert train_mod.halo_engine(G(16_000_000, 208_000_000), 8) == "gather"
+    # dense-ish graph: edge-tile fill is fine, stay on the XLA engine
+    assert train_mod.halo_engine(G(100_000, 50_000_000), 4) == "xla"

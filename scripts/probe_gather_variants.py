@@ -76,8 +76,27 @@ def make_kernel(variant, unroll):
                 out_ref[0:1, 0:1] = jnp.full((1, 1), 1.0, jnp.float32)
             return 0
 
+        def body_twophase(i, _):
+            # phase 1: all scalar reads + bwin loads; phase 2: RMW accs
+            base = i * unroll
+            rcs = []
+            gs = []
+            for k in range(unroll):
+                v = idx_ref[row8, base + k]
+                r = v >> W_BITS
+                c = v & (W_ROWS - 1)
+                wv = w_ref[row8, base + k]
+                rcs.append((r, wv))
+                gs.append(b_ref[pl.ds(c, 1), :])
+            for (r, wv), g in zip(rcs, gs):
+                acc = out_ref[pl.ds(r, 1), :]
+                out_ref[pl.ds(r, 1), :] = acc + wv * g
+            return 0
+
         if unroll == 1:
             jax.lax.fori_loop(0, m & ((1 << LIVE_BITS) - 1), body, 0)
+        elif variant == "twophase":
+            jax.lax.fori_loop(0, E_BLK // unroll, body_twophase, 0)
         else:
             # full-block walk (padding slots carry w=0) in unrolled strides
             def body_u(i, _):

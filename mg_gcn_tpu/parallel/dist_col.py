@@ -42,6 +42,45 @@ def make_col_mesh(num_devices: int | None = None) -> Mesh:
     return Mesh(np.asarray(devices), (FEAT_AXIS,))
 
 
+def dist_transpose(x_local: jax.Array, parts: int) -> jax.Array:
+    """Distributed dense transpose on the feature mesh (per-device body).
+
+    The explicit equivalent of the reference's ``dist_dn_matrix::transpose``
+    (dist_matrix.hpp:358-390: per-device transpose → shuffle-encode →
+    NCCL send/recv all-to-all): a column-sharded (n, d/P) matrix becomes
+    the column-sharded (d, n/P) transpose — device k ends with
+    ``xᵀ[:, k·n/P:(k+1)·n/P]``. On TPU the shuffle-encode kernel
+    disappears: one ``lax.all_to_all`` exchanges the row×column blocks and
+    the local transpose is a single XLA op. n must divide the mesh size."""
+    n, dl = x_local.shape
+    if n % parts:
+        raise ValueError(f"rows ({n}) must be divisible by the mesh size ({parts})")
+    m_loc = n // parts
+    # my (n, dl) column slab as P row blocks; block j goes to device j
+    blocks = x_local.reshape(parts, m_loc, dl)
+    # recv[j] = device j's block of MY row slab: x[my_rows, j·dl:(j+1)·dl]
+    recv = jax.lax.all_to_all(blocks, FEAT_AXIS, split_axis=0, concat_axis=0)
+    slab = recv.transpose(1, 0, 2).reshape(m_loc, parts * dl)  # x[my_rows, :]
+    return slab.T  # (d, n/P)
+
+
+def make_dist_transpose(mesh: Mesh, parts: int):
+    """Jitted column-sharded (n, d) -> column-sharded (d, n) transpose."""
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    body = shard_map(
+        lambda x: dist_transpose(x, parts),
+        mesh=mesh,
+        in_specs=P(None, FEAT_AXIS),
+        out_specs=P(None, FEAT_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(body)
+
+
 def _tp_linear(h_local: jax.Array, w_local: jax.Array, b_local: jax.Array):
     """Tensor-parallel XW + b: h (n, in/P) @ w (in/P, out) -> partial (n, out)
     -> psum_scatter -> (n, out/P), plus the local bias columns."""

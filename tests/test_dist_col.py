@@ -84,3 +84,21 @@ def test_col_rejects_indivisible(mesh4):
     config = GCNConfig(sizes=(10, 8, 4), parity=False)
     with pytest.raises(ValueError, match="divisible"):
         dist_col.make_col_train_step(config, mesh4, 48)
+
+
+def test_dist_transpose_matches_local():
+    """Explicit distributed dense transpose (dist_matrix.hpp:358-390
+    equivalent): column-sharded (n, d) -> column-sharded (d, n)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mg_gcn_tpu.parallel import dist_col
+
+    parts = 4
+    n, d = 32, 8  # both divisible by parts
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    mesh = dist_col.make_col_mesh(parts)
+    tr = dist_col.make_dist_transpose(mesh, parts)
+    got = np.asarray(tr(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, x.T)

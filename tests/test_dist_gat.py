@@ -99,3 +99,41 @@ def test_dist_gat_masked_loss():
     )
     np.testing.assert_allclose(float(lossd), float(loss1), rtol=1e-5)
     np.testing.assert_allclose(float(accd), float(acc1), rtol=1e-6)
+
+
+def test_dist_gat_skewed_blocks_pad_schedules():
+    """Blocks with very different edge counts force the step-count
+    equalization (pad_edge_schedule / transposed pad) inside the stacked
+    builder; the result must still match the single-chip model."""
+    parts = 2
+    n, d_in, ncls = 128, 5, 3
+    rng = np.random.default_rng(11)
+    dense = np.zeros((n, n), np.float32)
+    # top-left block dense, the rest sparse
+    dense[: n // 2, : n // 2] = (rng.random((n // 2, n // 2)) < 0.6).astype(np.float32)
+    sparse_mask = rng.random((n, n)) < 0.02
+    dense[sparse_mask] = 1.0
+    np.fill_diagonal(dense, 1.0)
+    csr = CSRData.from_scipy(sp.csr_matrix(dense))
+    x = rng.standard_normal((n, d_in)).astype(np.float32)
+    y = rng.integers(0, ncls, n).astype(np.int32)
+    config = gat.GATConfig(sizes=(d_in, ncls), heads=1)
+    params = gat.init_params(config, jax.random.key(3))
+
+    graph1 = gat.build_gat_graph(csr, dtype="float32")
+    loss1, acc1, grads1 = gat.loss_and_grad(
+        params, graph1, jnp.asarray(x), jnp.asarray(y), config
+    )
+
+    mesh = make_mesh(parts)
+    g = dist_gat.build_dist_gat_graph(csr, parts, dtype="float32")
+    # the skew must actually produce unequal natural step counts -> the
+    # stacked schedule is the padded max
+    assert g.meta.shape[-1] >= 8
+    step_d = dist_gat.make_dist_gat_train_step(config, mesh, g, hparams=dict(lr=1e-2))
+    pd, od, lossd, accd = step_d(
+        params, adam.adam_init(params), dist_gat.graph_arrays(g),
+        jnp.asarray(x), jnp.asarray(y),
+    )
+    np.testing.assert_allclose(float(lossd), float(loss1), rtol=1e-5)
+    np.testing.assert_allclose(float(accd), float(acc1), rtol=1e-6)

@@ -202,3 +202,18 @@ def test_attention_pipeline_grads():
     np.testing.assert_allclose(float(v), float(vd), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(da), rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(db), rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("paired", [False, True])
+def test_spmm_t_paired_modes(paired):
+    """Both chunk-pairing modes of the transposed kernel (the paired branch
+    shares each pair's chi sub-window and sums their Mᵀ tiles)."""
+    csr = weighted_csr(350, 300, density=0.05, seed=9)
+    mat = se.edge_tile_mat_from_csr(csr, dtype="float32", paired=paired)
+    assert mat.paired == paired
+    sched = se.transposed_schedule(mat)
+    rng = np.random.default_rng(9)
+    a = rng.standard_normal((350, 8)).astype(np.float32)
+    got = np.asarray(se.spmm_edge_tiles_t(mat, sched, jnp.asarray(a)))
+    want = csr.to_scipy().T @ a
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -328,6 +328,37 @@ def main() -> None:
                 weighted_edges_per_s=SPMM_PER_EPOCH * nnz / w_epoch_s,
                 weighted_vs_binary=w_epoch_s / epoch_s_dispatch,
             )
+
+            # SDDMM at the same scale (the second kernel the BASELINE north
+            # star names): per-edge scores on the already-resident edge-tile
+            # structure (ops/sddmm.py), chained to amortize dispatch
+            from mg_gcn_tpu.ops.sddmm import sddmm_edge_tiles
+
+            CHAIN = 5
+            sa = jnp.asarray(
+                np.random.default_rng(9).standard_normal((N, 128)).astype(np.float32)
+            )
+
+            @jax.jit
+            def sddmm_chain(mat, a):
+                acc = jnp.float32(0)
+                for _ in range(CHAIN):
+                    s = sddmm_edge_tiles(mat, a, a)
+                    acc = acc + jnp.sum(s)
+                    a = a * (1.0 + 1e-6 * acc / (jnp.abs(acc) + 1.0))
+                return acc
+
+            float(sddmm_chain(wpair.fwd, sa))  # compile
+            s0 = time.perf_counter()
+            float(sddmm_chain(wpair.fwd, sa))
+            sddmm_s = (time.perf_counter() - s0 - 0.0265) / CHAIN
+            weighted_meta["sddmm_seconds"] = sddmm_s
+            weighted_meta["sddmm_edges_per_s"] = nnz / sddmm_s
+            print(
+                f"[sddmm reddit-scale d=128] {sddmm_s*1e3:.1f} ms = "
+                f"{nnz/sddmm_s/1e9:.2f} Gedge/s",
+                file=sys.stderr,
+            )
         except Exception as exc:  # aux must never sink the headline
             print(f"weighted aux skipped: {exc}", file=sys.stderr)
 

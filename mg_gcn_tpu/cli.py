@@ -77,6 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
         "layers, mean on the output layer)",
     )
     p.add_argument(
+        "--edge-weighted",
+        action="store_true",
+        help="weight the GAT attention by the graph's positive edge values "
+        "(alpha ∝ w·exp(s); --model gat, single chip)",
+    )
+    p.add_argument(
         "--pattern-dtype",
         default="bfloat16",
         choices=["bfloat16", "float32", "int8"],
@@ -249,10 +255,18 @@ def cmd_train(opts) -> int:
         if opts.residual:
             print("--residual is a GCN option (--model gcn)", file=sys.stderr)
             return 2
+        if opts.edge_weighted and opts.P > 1:
+            print(
+                "--edge-weighted GAT is single-chip (the distributed graph "
+                "drops edge values); use -P 1",
+                file=sys.stderr,
+            )
+            return 2
         config = GATConfig(
             sizes=tuple(sizes),
             heads=opts.heads,
             loss_mask="train" if opts.mask_train else "all",
+            edge_weighted=opts.edge_weighted,
         )
     else:
         config = GCNConfig(

@@ -41,6 +41,9 @@ class GATConfig:
     att_slope: float = 0.2  # LeakyReLU slope on attention scores
     leaky_slope: float = 0.01  # inter-layer activation (framework vocabulary)
     loss_mask: str = "all"
+    # weight the attention by the graph's (positive) edge values:
+    # alpha_e ∝ w_e · exp(s_e), i.e. a log-weight bias on the scores
+    edge_weighted: bool = False
 
     @property
     def num_layers(self) -> int:
@@ -52,10 +55,21 @@ class GATConfig:
 
 
 def build_gat_graph(graph: CSRData, dtype: str = "bfloat16"):
-    """(EdgeTileMat, TSched) over the raw adjacency (values ignored —
-    attention recomputes per-edge weights every layer). Self-loops should
-    be present so every node attends at least to itself (prep adds them)."""
+    """(EdgeTileMat, TSched) over the adjacency. The structure drives the
+    attention; the stored edge values are only read when
+    ``config.edge_weighted`` (they must then be positive — the bias is
+    ``log w``). Self-loops should be present so every node attends at
+    least to itself (prep adds them)."""
     return build_attention_graph(graph, dtype=dtype)
+
+
+def _log_weight_bias(mat) -> jax.Array:
+    """Per-slot ``log w_e`` (0 on padding): the edge-weighted attention
+    bias — ``softmax(s + log w)`` ≡ ``w·exp(s)`` renormalized."""
+    from ..ops.edge_attention import valid_mask
+
+    w = mat.w.astype(jnp.float32)
+    return jnp.where(valid_mask(mat) > 0, jnp.log(jnp.maximum(w, 1e-30)), 0.0)
 
 
 def init_params(config: GATConfig, key: jax.Array | None = None) -> list[dict]:
@@ -92,7 +106,7 @@ def init_params(config: GATConfig, key: jax.Array | None = None) -> list[dict]:
     return params
 
 
-def _attend_head(mat, sched, z, e_dst, e_src, slope):
+def _attend_head(mat, sched, z, e_dst, e_src, slope, bias=None):
     """alpha-weighted aggregation for one head's projected features z."""
     ones = jnp.ones((z.shape[0], 1), jnp.float32)
     s = sddmm(
@@ -102,6 +116,8 @@ def _attend_head(mat, sched, z, e_dst, e_src, slope):
         jnp.concatenate([ones, e_src], axis=1),
     )
     s = ew.leaky_relu(s, slope)
+    if bias is not None:
+        s = s + bias
     alpha = slot_softmax(mat, sched, s)
     return spmm_attn(mat, sched, alpha, z)
 
@@ -110,6 +126,7 @@ def forward(params: Sequence[dict], graph, x: jax.Array, config: GATConfig):
     mat, sched = graph
     h = x
     H = config.heads
+    bias = _log_weight_bias(mat) if config.edge_weighted else None
     for i, layer in enumerate(params):
         out = config.sizes[i + 1]
         z = h @ layer["W"]  # (n, H*out)
@@ -118,7 +135,11 @@ def forward(params: Sequence[dict], graph, x: jax.Array, config: GATConfig):
             zh = z[:, hd * out : (hd + 1) * out]
             e_dst = zh @ layer["a_dst"][hd][:, None]  # (n, 1)
             e_src = zh @ layer["a_src"][hd][:, None]
-            heads.append(_attend_head(mat, sched, zh, e_dst, e_src, config.att_slope))
+            heads.append(
+                _attend_head(
+                    mat, sched, zh, e_dst, e_src, config.att_slope, bias
+                )
+            )
         if i + 1 < config.num_layers:
             h = jnp.concatenate(heads, axis=1) + layer["b"]
             h = ew.leaky_relu(h, config.leaky_slope)

@@ -137,3 +137,40 @@ def test_gat_trains_on_planted_communities():
         accs.append(float(acc))
     assert losses[-1] < losses[0]
     assert accs[-1] >= 0.9, accs
+
+
+def test_edge_weighted_gat_vs_dense():
+    """alpha ∝ w·exp(s): the log-weight bias must reproduce the dense
+    weighted-attention formulation (values and gradients)."""
+    n, d = 120, 6
+    rng = np.random.default_rng(13)
+    g = sp.random(n, n, density=0.06, format="csr", random_state=13)
+    g = (g + sp.identity(n, format="csr")).tocsr()
+    g.data[:] = rng.random(g.nnz).astype(np.float32) + 0.25  # positive weights
+    csr = CSRData.from_scipy(g)
+    w_dense = np.asarray(g.todense(), np.float32)
+    pattern = w_dense > 0
+
+    config = gat.GATConfig(sizes=(d, 4), heads=1, edge_weighted=True)
+    params = gat.init_params(config, jax.random.key(5))
+    graph = gat.build_gat_graph(csr, dtype="float32")
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+
+    def f_tiles(x):
+        return jnp.sum(gat.forward(params, graph, x, config) ** 2)
+
+    def f_dense(x):
+        layer = params[0]
+        zh = x @ layer["W"]
+        e_dst = zh @ layer["a_dst"][0]
+        e_src = zh @ layer["a_src"][0]
+        s = e_dst[:, None] + e_src[None, :]
+        s = jnp.where(s > 0, s, config.att_slope * s)
+        num = jnp.where(pattern, jnp.asarray(w_dense) * jnp.exp(s), 0.0)
+        alpha = num / jnp.maximum(num.sum(axis=1, keepdims=True), 1e-30)
+        return jnp.sum((alpha @ zh + layer["b"]) ** 2)
+
+    v, gx = jax.value_and_grad(f_tiles)(x)
+    vd, gxd = jax.value_and_grad(f_dense)(x)
+    np.testing.assert_allclose(float(v), float(vd), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gxd), rtol=1e-3, atol=1e-4)

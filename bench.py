@@ -351,7 +351,10 @@ def main() -> None:
             float(sddmm_chain(wpair.fwd, sa))  # compile
             s0 = time.perf_counter()
             float(sddmm_chain(wpair.fwd, sa))
-            sddmm_s = (time.perf_counter() - s0 - 0.0265) / CHAIN
+            raw = time.perf_counter() - s0
+            # subtract the ~26.5 ms tunnel dispatch, but never let the
+            # correction dominate (a faster setup would go negative)
+            sddmm_s = max(raw - 0.0265, raw * 0.5) / CHAIN
             weighted_meta["sddmm_seconds"] = sddmm_s
             weighted_meta["sddmm_edges_per_s"] = nnz / sddmm_s
             print(
@@ -422,17 +425,30 @@ def main() -> None:
                     gather_schedule_host,
                 )
 
+                pfp = np.concatenate(
+                    [pg.indices[:8].astype(np.int64), [pg.nnz]]
+                )
+                fs = None
                 if os.path.exists(spath):
                     with np.load(spath) as dd:
-                        fs = {k[2:]: dd[k] for k in dd.files if k.startswith("f_")}
-                        bs = {k[2:]: dd[k] for k in dd.files if k.startswith("b_")}
-                else:
+                        if "fingerprint" in dd.files and np.array_equal(
+                            dd["fingerprint"], pfp
+                        ):
+                            fs = {k[2:]: dd[k] for k in dd.files if k.startswith("f_")}
+                            bs = {k[2:]: dd[k] for k in dd.files if k.startswith("b_")}
+                        else:
+                            print(
+                                "products cache stale (graph); rebuilding",
+                                file=sys.stderr,
+                            )
+                if fs is None:
                     pa = _hs.normalize(pg, axis=True)
                     pa_t = _hs.transpose(pa)
                     fs = gather_schedule_host(pa_t)
                     bs = gather_schedule_host(pa)
                     np.savez(
                         spath,
+                        fingerprint=pfp,
                         **{"f_" + k: np.asarray(v) for k, v in fs.items()},
                         **{"b_" + k: np.asarray(v) for k, v in bs.items()},
                     )

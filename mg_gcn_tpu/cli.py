@@ -181,6 +181,9 @@ def cmd_train(opts) -> int:
             file=sys.stderr,
         )
         return 2
+    if opts.edge_weighted and opts.model != "gat":
+        print("--edge-weighted is a GAT option (--model gat)", file=sys.stderr)
+        return 2
     if opts.model == "gat":
         if opts.P > 1 and not opts.R:
             print(
@@ -746,7 +749,11 @@ def cmd_infer(opts) -> int:
         from .models.gat import forward as model_forward
         from .models.gat import init_params as model_init
 
-        config = GATConfig(sizes=tuple(sizes), heads=opts.heads)
+        config = GATConfig(
+            sizes=tuple(sizes),
+            heads=opts.heads,
+            edge_weighted=opts.edge_weighted,
+        )
     else:
         model_forward, model_init = forward, init_params
         config = GCNConfig(sizes=tuple(sizes), residual=opts.residual)

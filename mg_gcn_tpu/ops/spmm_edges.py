@@ -589,6 +589,7 @@ def pad_edge_schedule(sched: dict, s_target: int) -> dict:
         "w": np.concatenate([sched["w"], np.zeros((pad * CPS, K), np.float32)]),
         "meta": np.concatenate([np.asarray(sched["meta"]), pad_meta]),
         "chi": np.concatenate([sched["chi"], np.zeros((pad, CPS), np.int32)]),
+        "fill": float(sched["nnz"]) / max(s_target * CPS * K, 1),
     }
 
 

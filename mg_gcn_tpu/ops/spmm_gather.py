@@ -258,6 +258,7 @@ def pad_schedule_steps(sched: dict, s_target: int) -> dict:
         "idx": np.concatenate([sched["idx"], np.zeros((pad, E_BLK), np.int32)]),
         "w": np.concatenate([sched["w"], np.zeros((pad, E_BLK), np.float32)]),
         "meta": np.concatenate([np.asarray(sched["meta"]), pad_meta]),
+        "fill": float(sched["nnz"]) / max(s_target * E_BLK, 1),
     }
 
 

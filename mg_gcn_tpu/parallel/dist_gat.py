@@ -286,6 +286,11 @@ def make_dist_gat_train_step(
     except ImportError:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map
 
+    if getattr(config, "edge_weighted", False):
+        raise ValueError(
+            "edge-weighted GAT is single-chip only (DistGatGraph stores no "
+            "edge values); drop edge_weighted or use -P 1"
+        )
     hp = dict(adam.DEFAULT_HPARAMS)
     if hparams:
         hp.update(hparams)

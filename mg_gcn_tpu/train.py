@@ -71,7 +71,15 @@ def halo_engine(graph: CSRData, parts: int) -> str:
 
     fill = spmm_edges.expected_fill(graph.nrows, graph.ncols, graph.nnz)
     m_loc = max(graph.nrows // max(parts, 1), 1)
-    slab_nnz = -(-graph.nnz // max(parts, 1))  # upper bound per block
+    # the largest row slab bounds every block's nnz exactly (an average
+    # would let a hub-heavy slab pass the gate and then blow the builder's
+    # schedule caps); fall back to the average for stub graphs in tests
+    indptr = getattr(graph, "indptr", None)
+    if indptr is not None and len(indptr) == graph.nrows + 1:
+        bounds = np.asarray(indptr)[:: m_loc][: parts + 1]
+        slab_nnz = int(np.max(np.diff(bounds))) if bounds.size > 1 else graph.nnz
+    else:
+        slab_nnz = -(-graph.nnz // max(parts, 1))
     if fill < 0.3 and _gather_feasible(m_loc, m_loc, slab_nnz):
         return "gather"
     return "xla"

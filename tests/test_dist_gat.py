@@ -106,12 +106,12 @@ def test_dist_gat_skewed_blocks_pad_schedules():
     equalization (pad_edge_schedule / transposed pad) inside the stacked
     builder; the result must still match the single-chip model."""
     parts = 2
-    n, d_in, ncls = 128, 5, 3
+    n, d_in, ncls = 256, 5, 3
     rng = np.random.default_rng(11)
     dense = np.zeros((n, n), np.float32)
-    # top-left block dense, the rest sparse
-    dense[: n // 2, : n // 2] = (rng.random((n // 2, n // 2)) < 0.6).astype(np.float32)
-    sparse_mask = rng.random((n, n)) < 0.02
+    # top-left block dense (enough chunks for >8 natural steps), rest sparse
+    dense[: n // 2, : n // 2] = (rng.random((n // 2, n // 2)) < 0.7).astype(np.float32)
+    sparse_mask = rng.random((n, n)) < 0.01
     dense[sparse_mask] = 1.0
     np.fill_diagonal(dense, 1.0)
     csr = CSRData.from_scipy(sp.csr_matrix(dense))
@@ -126,10 +126,24 @@ def test_dist_gat_skewed_blocks_pad_schedules():
     )
 
     mesh = make_mesh(parts)
+    # the skew must actually produce unequal NATURAL step counts so the
+    # stacked builder genuinely exercises the padding path
+    from mg_gcn_tpu import sparse as host_sparse
+    from mg_gcn_tpu.ops.spmm_edges import _pick_br, edge_tile_schedule_host
+
+    part = host_sparse.uniform_partition(n, parts)
+    blocks = host_sparse.partition_blocks(csr, part, part)
+    br, paired = _pick_br(n // parts, n // parts, max(csr.nnz // (parts * parts), 1))
+    nat = {
+        edge_tile_schedule_host(
+            blocks[j][k], dtype="float32", br=br, paired=paired
+        )["meta"].shape[0]
+        for j in range(parts)
+        for k in range(parts)
+    }
+    assert len(nat) > 1, f"skew did not produce unequal step counts: {nat}"
     g = dist_gat.build_dist_gat_graph(csr, parts, dtype="float32")
-    # the skew must actually produce unequal natural step counts -> the
-    # stacked schedule is the padded max
-    assert g.meta.shape[-1] >= 8
+    assert g.meta.shape[-1] == max(nat)
     step_d = dist_gat.make_dist_gat_train_step(config, mesh, g, hparams=dict(lr=1e-2))
     pd, od, lossd, accd = step_d(
         params, adam.adam_init(params), dist_gat.graph_arrays(g),

@@ -348,13 +348,30 @@ def main() -> None:
                     a = a * (1.0 + 1e-6 * acc / (jnp.abs(acc) + 1.0))
                 return acc
 
+            # measure the dispatch round-trip IN-RUN with an empty jit (the
+            # tunnel overhead drifts; a stale constant silently corrupts
+            # the corrected figure) — record both raw and corrected
+            @jax.jit
+            def _empty(x):
+                return x + 1.0
+
+            float(_empty(jnp.float32(0)))  # compile
+            disp_samples = []
+            for i in range(2, 5):
+                t0 = time.perf_counter()
+                float(_empty(jnp.float32(i)))
+                disp_samples.append(time.perf_counter() - t0)
+            disp = min(disp_samples)
+
             float(sddmm_chain(wpair.fwd, sa))  # compile
             s0 = time.perf_counter()
             float(sddmm_chain(wpair.fwd, sa))
             raw = time.perf_counter() - s0
-            # subtract the ~26.5 ms tunnel dispatch, but never let the
-            # correction dominate (a faster setup would go negative)
-            sddmm_s = max(raw - 0.0265, raw * 0.5) / CHAIN
+            # subtract the measured dispatch, but never let the correction
+            # dominate (a faster setup would go negative)
+            sddmm_s = max(raw - disp, raw * 0.5) / CHAIN
+            weighted_meta["sddmm_seconds_raw"] = raw / CHAIN
+            weighted_meta["sddmm_dispatch_seconds"] = disp
             weighted_meta["sddmm_seconds"] = sddmm_s
             weighted_meta["sddmm_edges_per_s"] = nnz / sddmm_s
             print(

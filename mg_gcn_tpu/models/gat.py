@@ -65,11 +65,18 @@ def build_gat_graph(graph: CSRData, dtype: str = "bfloat16"):
 
 def _log_weight_bias(mat) -> jax.Array:
     """Per-slot ``log w_e`` (0 on padding): the edge-weighted attention
-    bias — ``softmax(s + log w)`` ≡ ``w·exp(s)`` renormalized."""
+    bias — ``softmax(s + log w)`` ≡ ``w·exp(s)`` renormalized.
+
+    Clamped to ±30: an unbounded bias (e.g. w = 1e-30 → −69) widens the
+    score range past slot_softmax's per-row stabilization window and
+    silently zeroes whole attention rows; at ±30 a weight ratio of e⁶⁰
+    (≈ 1e26) within one row is still represented exactly, far beyond any
+    meaningful edge weighting."""
     from ..ops.edge_attention import valid_mask
 
     w = mat.w.astype(jnp.float32)
-    return jnp.where(valid_mask(mat) > 0, jnp.log(jnp.maximum(w, 1e-30)), 0.0)
+    bias = jnp.clip(jnp.log(jnp.maximum(w, 1e-30)), -30.0, 30.0)
+    return jnp.where(valid_mask(mat) > 0, bias, 0.0)
 
 
 def init_params(config: GATConfig, key: jax.Array | None = None) -> list[dict]:

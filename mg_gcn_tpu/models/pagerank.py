@@ -50,12 +50,29 @@ def _pagerank_mat(graph: CSRData, impl: str = "auto"):
         return spmm_pattern.PatternMat(
             pack, jnp.asarray(r), n, n_pad, graph.nnz, "PT", "pre", "float32"
         )
+    if impl == "gather" and bool((graph.data == 1).all()):
+        # binary adjacency: M = Aᵀ diag(1/outdeg) — a pre-scale around a
+        # w-less binary walk (half the schedule bytes)
+        from ..ops.spmm_gather import gather_mat_from_csr
+
+        outdeg = np.diff(graph.indptr).astype(np.float32)
+        try:
+            return gather_mat_from_csr(
+                host_sparse.transpose(graph),
+                scale=1.0 / np.maximum(outdeg, 1.0),
+                scale_side="pre",
+            )
+        except ValueError:
+            pass  # schedule too large for single-chip SMEM; COO below
     a = host_sparse.normalize(graph, axis=False)  # row-stochastic
     a_t = host_sparse.transpose(a)
     if impl == "gather":
         from ..ops.spmm_gather import gather_mat_from_csr
 
-        return gather_mat_from_csr(a_t)
+        try:
+            return gather_mat_from_csr(a_t)
+        except ValueError:
+            pass  # schedule too large for single-chip SMEM; COO below
     if impl == "edge":
         from ..ops.spmm_edges import edge_tile_mat_from_csr
 

@@ -40,9 +40,11 @@ from .spmm_edges import (
 
 def build_attention_graph(csr, dtype: str = "bfloat16", **kw):
     """(EdgeTileMat, TSched) for a graph adjacency — the structural pair
-    every op below shares. Edge values in ``csr`` are ignored (attention
-    recomputes them per layer); self-loops should already be present
-    (data/prep.py adds them)."""
+    every op below shares. Edge values in ``csr`` are stored on the slots
+    and consumed when ``GATConfig.edge_weighted`` is set (they must then be
+    positive — the bias is ``log w``, see models/gat.py); plain attention
+    recomputes slot weights per layer and never reads them. Self-loops
+    should already be present (data/prep.py adds them)."""
     from .spmm_edges import edge_tile_mat_from_csr
 
     m = edge_tile_mat_from_csr(csr, dtype=dtype, **kw)
@@ -55,6 +57,11 @@ def valid_mask(mat: EdgeTileMat) -> jax.Array:
 
 
 def _with_w(mat: EdgeTileMat, w_slots: jax.Array) -> EdgeTileMat:
+    if mat.compute_dtype == jnp.int8:
+        raise ValueError(
+            "attention ops need dynamic slot weights — build the edge-tile "
+            "mat in bfloat16 (int8 mode packs static quantized weights)"
+        )
     # the kernels assume padding slots carry weight 0; mask user weights
     w = w_slots * slot_valid_mask(mat.idx, w_slots.dtype)
     return dataclasses.replace(mat, w=w.astype(mat.compute_dtype))
@@ -118,24 +125,39 @@ spmm_attn.defvjp(_spmm_attn_fwd, _spmm_attn_bwd)
 def slot_softmax(mat: EdgeTileMat, sched: TSched, scores: jax.Array) -> jax.Array:
     """Row-wise softmax over each output row's edge slots.
 
-    Stabilized by the global max (a constant shift — exact softmax, cheap
-    on TPU); the per-row sum rides the weighted SpMM against a ones column
-    and returns to slot space via a d=1 SDDMM, so the whole normalization
-    is MXU work with no gathers. Computed in log form —
-    ``exp(s − smax − log Σ)`` — because a slotwise reciprocal's backward
+    Stabilized by a **per-row** shift computed in two MXU passes (the slot
+    layout has no segment-max, but a clipped global-shift pass estimates
+    each row's log-sum-exp): pass 1 exponentiates ``clip(s − smax, −80, 0)``
+    — the clip floor keeps rows far below the global max from flushing to
+    zero — and its row sums give ``lse₁[r] ≥ rowmax[r]``; pass 2 uses
+    ``lse₁[r_e]`` as the per-slot shift, so every row whose score range is
+    within ~80 of its *own* pass-1 estimate (i.e. any row ≲165 below the
+    global max, for any row width) normalizes exactly. The per-row sums
+    ride the weighted SpMM against a ones column and return to slot space
+    via a d=1 SDDMM — all MXU work, no gathers. Computed in log form —
+    ``exp(s − shift − log Σ)`` — because a slotwise reciprocal's backward
     (−1/x²) overflows f32 on padding slots and NaNs the cotangent chain
-    (0·inf). Padding slots get exactly 0.
+    (0·inf). Padding slots get exactly 0. All shifts are stop-gradient
+    per-row constants (softmax is row-shift invariant), so gradients flow
+    only through pass 2 — identical algebra to the plain stabilized form.
 
-    Caveat: rows whose *entire* score range sits > ~90 below the global max
-    underflow to alpha ≈ 0 (a per-row max would need a segment-max the slot
-    layout does not provide); attention scores in practice are bounded by
-    the activations' scale, far inside that window."""
+    Residual caveat: a row whose entire range sits ≳165 below the global
+    max still underflows to alpha ≈ 0; the edge-weighted GAT bias is
+    clamped to ±30 (models/gat.py) so composed scores stay far inside
+    that window."""
     v = valid_mask(mat)
-    smax = jax.lax.stop_gradient(jnp.max(jnp.where(v > 0, scores, -jnp.inf)))
-    smax = jnp.where(jnp.isfinite(smax), smax, 0.0)  # all-padding guard
-    e = jnp.where(v > 0, jnp.exp(scores - smax), 0.0)
     ones = jnp.ones((mat.n_in, 1), jnp.float32)
+    sg = jax.lax.stop_gradient(scores)
+    smax = jnp.max(jnp.where(v > 0, sg, -jnp.inf))
+    smax = jnp.where(jnp.isfinite(smax), smax, 0.0)  # all-padding guard
+    # pass 1: clipped global shift -> per-row LSE estimate (>= row max)
+    e1 = jnp.where(v > 0, jnp.exp(jnp.clip(sg - smax, -80.0, 0.0)), 0.0)
+    rs1 = spmm_attn(mat, sched, e1, ones)  # (n_out, 1)
+    lse1 = smax + jnp.log(jnp.maximum(rs1, 1e-30))
+    shift = jax.lax.stop_gradient(sddmm(mat, sched, lse1, ones))
+    # pass 2: exact per-row normalization under the per-row shift
+    e = jnp.where(v > 0, jnp.exp(scores - shift), 0.0)
     rowsum = spmm_attn(mat, sched, e, ones)  # (n_out, 1)
     log_rs = jnp.log(jnp.maximum(rowsum, 1e-30))
     slot_log_rs = sddmm(mat, sched, log_rs, ones)  # log rowsum[r_e] per slot
-    return jnp.where(v > 0, jnp.exp(scores - smax - slot_log_rs), 0.0)
+    return jnp.where(v > 0, jnp.exp(scores - shift - slot_log_rs), 0.0)

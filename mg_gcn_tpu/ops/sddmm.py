@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .spmm_pattern import round_up
-from .spmm_edges import BC, CPS, IDX_MASK, K, EdgeTileMat, interpret_default
+from .spmm_edges import BC, CPS, IDX_MASK, K, RL_MASK, EdgeTileMat, interpret_default
 
 
 def _sddmm_kernel(meta_ref, chi_ref, idx_ref, a_ref, b_ref, out_ref, *, br, cdtype, paired):
@@ -67,7 +67,7 @@ def _sddmm_kernel(meta_ref, chi_ref, idx_ref, a_ref, b_ref, out_ref, *, br, cdty
     def chunk_scores(c, t):
         vraw = idx_ref[c : c + 1, :]  # (1, K) i32
         v = vraw & IDX_MASK
-        rl = v >> 7  # BC = 128
+        rl = (v >> 7) & RL_MASK  # int8-packed idx words carry wq above bit 17
         cl = v & (BC - 1)
         hg = (iota_c == cl).astype(jnp.float32).astype(cdtype)  # (BC, K)
         w2 = jnp.dot(
@@ -110,6 +110,11 @@ def sddmm_edge_tiles(mat: EdgeTileMat, a: jax.Array, b: jax.Array) -> jax.Array:
             for i in range(0, d, 512)
         )
     cdtype = mat.compute_dtype
+    if cdtype == jnp.int8:
+        # int8 mats share structure with the dense compute here; scores are
+        # activations-only math, so run them in bf16 (the int8 payload in
+        # the idx words is masked off by RL_MASK / IDX_MASK)
+        cdtype = jnp.bfloat16
     d_pad = round_up(max(d, 128), 128)
     a_pad = jnp.zeros((mat.n_out_pad, d_pad), cdtype).at[: mat.n_out, :d].set(
         a.astype(cdtype)

@@ -64,6 +64,10 @@ BC = 128  # operand rows per sub-tile / one-hot width (one lane group)
 K = 128  # edge slots per chunk (one lane row)
 VALID_BIT = 1 << 30  # slot-word flag: real edge (vs padding)
 IDX_MASK = VALID_BIT - 1
+RL_MASK = 2047  # row_local bits 7..17 (br <= 2048 == max BR_CANDIDATES)
+WQ_SHIFT = 18  # int8 mode: quantized weight rides in idx bits 18..25
+WQ_MASK = 255
+WQ_BIAS = 128  # stored as wq + 128 (offset-binary; padding decodes to 0)
 CPS = 8  # chunks per grid step
 BCW = 4096  # operand columns per outer tile (B block height)
 D_MAX_E = 256  # feature columns per kernel call (VMEM bound)
@@ -85,7 +89,7 @@ def slot_valid_mask(idx: jax.Array, dtype=jnp.float32) -> jax.Array:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["idx", "w", "meta", "chi"],
+    data_fields=["idx", "w", "meta", "chi", "row_scale"],
     meta_fields=[
         "n_out",
         "n_in",
@@ -109,10 +113,17 @@ class EdgeTileMat:
     slots). ``meta[s]`` packs the per-step schedule
     ``(tr << (tcw_bits+1)) | (tcw << 1) | first``; ``chi[s, c]`` is chunk
     c's 128-column sub-window within the outer tile (0..BCW/128-1).
+
+    int8 mode (``dtype_name="int8"``): edge weights are quantized per
+    output row (symmetric, scale = max|row|/127) and the quantized value
+    rides inside the idx word (bits 18..25, offset-binary) — ``w`` is None
+    and ``row_scale`` carries the (n_out,) f32 dequant scales. Both MXU
+    matmuls then run at the 2× int8 rate; the only approximation is the
+    8-bit rounding of weights and of the per-feature-quantized operand.
     """
 
     idx: jax.Array  # i32[S*CPS, K]
-    w: jax.Array  # cdtype[S*CPS, K]
+    w: jax.Array | None  # cdtype[S*CPS, K]; None in int8 mode
     meta: jax.Array  # i32[S]
     chi: jax.Array  # i32[S, CPS]
     n_out: int
@@ -125,6 +136,7 @@ class EdgeTileMat:
     dtype_name: str = "bfloat16"
     fill: float = 1.0  # nnz / slot count (diagnostic)
     paired: bool = False  # chunk pairs share chi -> one apply per pair
+    row_scale: jax.Array | None = None  # f32[n_out], int8 mode only
 
     @property
     def compute_dtype(self):
@@ -210,6 +222,11 @@ def edge_tile_schedule_host(
         paired = auto_paired if paired is None else paired
     if br % 8 or br <= 0:
         raise ValueError("br must be a positive multiple of 8")
+    if br > RL_MASK + 1:
+        raise ValueError(
+            f"br ({br}) exceeds {RL_MASK + 1}: row_local must fit idx bits "
+            "7..17 (the int8 mode packs quantized weights above them)"
+        )
     n_out_pad = round_up(max(n_out, br), br)
     n_in_pad = round_up(max(n_in, BCW), BCW)
     n_tr = n_out_pad // br
@@ -224,12 +241,31 @@ def edge_tile_schedule_host(
     counts = np.diff(csr.indptr).astype(np.int64)
     rows = np.repeat(np.arange(n_out, dtype=np.int32), counts)
     cols = csr.indices.astype(np.int32, copy=False)
+    int8_mode = dtype == "int8"
+    row_scale = None
+    wq = None
+    if int8_mode:
+        # per-output-row symmetric scale: max|w| over the row's edges
+        # (empty rows keep scale 1; reduceat over nonzero-row starts is
+        # exact because empty rows add nothing between consecutive starts)
+        absd = np.abs(csr.data.astype(np.float32))
+        row_scale = np.ones(n_out, np.float32)
+        nz = counts > 0
+        if absd.size and nz.any():
+            row_scale[nz] = np.maximum.reduceat(absd, csr.indptr[:-1][nz])
+        row_scale = np.maximum(row_scale, 1e-30)
+        wq = np.clip(
+            np.rint(csr.data.astype(np.float32) / row_scale[rows] * 127.0),
+            -127,
+            127,
+        ).astype(np.int32)
     skey = (rows // br).astype(np.int64) * n_sub + (cols // BC)
     skey = skey.astype(np.int32)  # < n_tr * n_sub < 2^31
     order = np.argsort(skey, kind="stable")
     rows_s = rows[order]
     cols_s = cols[order]
     data_s = csr.data[order].astype(np.float32)
+    wq_s = wq[order] if int8_mode else None
 
     # unique-on-sorted without np.unique's internal re-sort of 10^8 keys
     skey_s = skey[order]
@@ -349,7 +385,7 @@ def edge_tile_schedule_host(
         chunk_e0 = chunk_e1 = chunk_tr = chunk_gsub = np.zeros(S * CPS, np.int64)
 
     idx16 = np.zeros((S * CPS, K), np.int32)
-    w32 = np.zeros((S * CPS, K), np.float32)
+    w32 = np.zeros((S * CPS, K) if not int8_mode else (0,), np.float32)
     total_chunks = S * CPS
     chunk_batch = max(1, (1 << 25) // K)
     lane = np.arange(K, dtype=np.int64)[None, :]
@@ -362,10 +398,15 @@ def edge_tile_schedule_host(
         cl = cols_s[src] - chunk_gsub[b0:b1, None] * BC
         # bit 30 marks real (non-padding) slots — the SpMM ignores it (its
         # padding weight is 0 anyway) but SDDMM masks its outputs with it
-        idx16[b0:b1] = np.where(
-            valid, (rl * BC + cl) | VALID_BIT, 0
-        ).astype(np.int32)
-        w32[b0:b1] = np.where(valid, data_s[src], 0.0)
+        base = (rl * BC + cl) | VALID_BIT
+        if int8_mode:
+            # the quantized weight rides in the idx word; the kernel
+            # decodes it offset-binary and masks by the valid bit, so
+            # padding words stay all-zero
+            base = base | ((wq_s[src] + WQ_BIAS) << WQ_SHIFT)
+        idx16[b0:b1] = np.where(valid, base, 0).astype(np.int32)
+        if not int8_mode:
+            w32[b0:b1] = np.where(valid, data_s[src], 0.0)
 
     return dict(
             idx=idx16,
@@ -382,6 +423,7 @@ def edge_tile_schedule_host(
             dtype_name=dtype,
             fill=float(csr.nnz) / max(S * CPS * K, 1),
             paired=paired,
+            row_scale=row_scale,
     )
 
 
@@ -392,16 +434,21 @@ def edge_tile_mat_from_host(sched: dict, device=None) -> EdgeTileMat:
     the schedule's compute dtype on upload."""
     put = lambda x: jax.device_put(x, device) if device is not None else jnp.asarray(x)
     dtype = str(sched["dtype_name"])
-    cdtype = jnp.dtype(dtype)
-    w32 = np.asarray(sched["w"])
-    if cdtype == jnp.bfloat16:
-        import ml_dtypes
-
-        w_dev = put(w32.astype(ml_dtypes.bfloat16))
-    elif cdtype == jnp.float32:
-        w_dev = put(w32)
+    row_scale = None
+    if dtype == "int8":
+        w_dev = None  # quantized weights ride inside the idx words
+        row_scale = put(np.asarray(sched["row_scale"], np.float32))
     else:
-        raise ValueError(f"unsupported edge-tile dtype {dtype!r}")
+        cdtype = jnp.dtype(dtype)
+        w32 = np.asarray(sched["w"])
+        if cdtype == jnp.bfloat16:
+            import ml_dtypes
+
+            w_dev = put(w32.astype(ml_dtypes.bfloat16))
+        elif cdtype == jnp.float32:
+            w_dev = put(w32)
+        else:
+            raise ValueError(f"unsupported edge-tile dtype {dtype!r}")
     return EdgeTileMat(
         idx=put(np.asarray(sched["idx"])),
         w=w_dev,
@@ -417,6 +464,7 @@ def edge_tile_mat_from_host(sched: dict, device=None) -> EdgeTileMat:
         dtype_name=dtype,
         fill=float(sched["fill"]),
         paired=bool(sched["paired"]),
+        row_scale=row_scale,
     )
 
 
@@ -474,9 +522,52 @@ def _edge_kernel(
     out_ref[:] = acc
 
 
+def _edge_kernel_i8(meta_ref, chi_ref, idx_ref, b_ref, out_ref, *, br, paired):
+    """int8 variant: quantized weights decoded from the idx words; both
+    matmuls run int8×int8→int32 (2× the bf16 MXU rate). The materialized
+    sub-tile is exact in quantized units (one edge per cell — duplicate
+    CSR entries would sum and clip at ±127)."""
+    s = pl.program_id(0)
+
+    @pl.when((meta_ref[s] & 1) == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    acc = out_ref[:]
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (br, K), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (BC, K), 0)
+
+    def chunk_m(c):
+        v = idx_ref[c : c + 1, :]  # (1, K) i32
+        rl = (v >> 7) & RL_MASK
+        cl = v & (BC - 1)
+        # offset-binary weight, masked by the valid bit so any padding
+        # word (all-zero included) decodes to weight 0
+        wq = (((v >> WQ_SHIFT) & WQ_MASK) - WQ_BIAS) * ((v >> 30) & 1)
+        hr = jnp.where(iota_r == rl, 1, 0).astype(jnp.int8)  # (br, K)
+        hg = jnp.where(iota_c == cl, wq, 0).astype(jnp.int8)  # (BC, K)
+        return jax.lax.dot_general(
+            hr, hg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )  # (br, BC) i32 == quantized sub-tile
+
+    def apply(m, c):
+        bsub = b_ref[pl.ds(chi_ref[s % 8, c] * BC, BC), :]
+        m8 = jnp.clip(m, -127, 127).astype(jnp.int8)
+        return jnp.dot(m8, bsub, preferred_element_type=jnp.int32)
+
+    if paired:
+        for p in range(CPS // 2):
+            acc += apply(chunk_m(2 * p) + chunk_m(2 * p + 1), 2 * p)
+    else:
+        for c in range(CPS):
+            acc += apply(chunk_m(c), c)
+    out_ref[:] = acc
+
+
 def _edge_call(mat: EdgeTileMat, b_pad: jax.Array) -> jax.Array:
-    """out(n_out_pad, d_pad) f32 = M @ b_pad for b_pad (n_in_pad, d_pad)
-    already in compute dtype."""
+    """out(n_out_pad, d_pad) = M @ b_pad for b_pad (n_in_pad, d_pad)
+    already in compute dtype (f32 out; i32 in int8 mode — the wrapper
+    dequants)."""
     if b_pad.shape[1] > D_MAX_E:
         return jnp.concatenate(
             [
@@ -490,52 +581,85 @@ def _edge_call(mat: EdgeTileMat, b_pad: jax.Array) -> jax.Array:
     br = mat.br
     tcw_bits = mat.tcw_bits
     tcw_mask = (1 << tcw_bits) - 1
+    int8_mode = mat.compute_dtype == jnp.int8
+    in_specs = [
+        pl.BlockSpec(
+            (8, CPS), lambda s, meta: (s // 8, 0), memory_space=pltpu.SMEM
+        ),
+        pl.BlockSpec((CPS, K), lambda s, meta: (s, 0), memory_space=pltpu.VMEM),
+    ]
+    if not int8_mode:
+        in_specs.append(
+            pl.BlockSpec((CPS, K), lambda s, meta: (s, 0), memory_space=pltpu.VMEM)
+        )
+    in_specs.append(
+        pl.BlockSpec(
+            (BCW, d_pad),
+            lambda s, meta: ((meta[s] >> 1) & tcw_mask, 0),
+            memory_space=pltpu.VMEM,
+        )
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(S,),
-        in_specs=[
-            pl.BlockSpec(
-                (8, CPS), lambda s, meta: (s // 8, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec((CPS, K), lambda s, meta: (s, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CPS, K), lambda s, meta: (s, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (BCW, d_pad),
-                lambda s, meta: ((meta[s] >> 1) & tcw_mask, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (br, d_pad),
             lambda s, meta: (meta[s] >> (tcw_bits + 1), 0),
             memory_space=pltpu.VMEM,
         ),
     )
-    return pl.pallas_call(
-        functools.partial(
+    if int8_mode:
+        kernel = functools.partial(_edge_kernel_i8, br=br, paired=mat.paired)
+        operands = (mat.meta, mat.chi, mat.idx, b_pad)
+        out_dtype = jnp.int32
+        w_bytes = 0
+    else:
+        kernel = functools.partial(
             _edge_kernel, br=br, cdtype=mat.compute_dtype, paired=mat.paired
-        ),
+        )
+        operands = (mat.meta, mat.chi, mat.idx, mat.w, b_pad)
+        out_dtype = jnp.float32
+        w_bytes = mat.w.size * mat.w.dtype.itemsize
+    return pl.pallas_call(
+        kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((mat.n_out_pad, d_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((mat.n_out_pad, d_pad), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * S * CPS * (br * BC * K + br * BC * d_pad),
             bytes_accessed=mat.idx.size * 4
-            + mat.w.size * mat.w.dtype.itemsize
+            + w_bytes
             + S * BCW * d_pad * b_pad.dtype.itemsize
             + mat.n_out_pad * d_pad * 4,
             transcendentals=0,
         ),
         interpret=interpret_default(),
-    )(mat.meta, mat.chi, mat.idx, mat.w, b_pad)
+    )(*operands)
 
 
 def spmm_edge_tiles(mat: EdgeTileMat, b: jax.Array) -> jax.Array:
-    """``C = M @ B`` for row-major B (n_in, d); returns (n_out, d) float32."""
+    """``C = M @ B`` for row-major B (n_in, d); returns (n_out, d) float32.
+
+    int8 mode quantizes B per feature on device (symmetric, scale =
+    max|column|/127, the pattern-kernel convention) and dequants the int32
+    accumulator with ``row_scale[r] · col_scale[j] / 127`` — error is the
+    8-bit rounding of weights and operand only."""
     n, d = b.shape
     if n != mat.n_in:
         raise ValueError(f"B has {n} rows, edge-tile matrix expects {mat.n_in}")
     cdtype = mat.compute_dtype
     d_pad = round_up(max(d, 128), 128)
+    if cdtype == jnp.int8:
+        b32 = b.astype(jnp.float32)
+        qscale = jnp.maximum(jnp.max(jnp.abs(b32), axis=0), 1e-30) / 127.0
+        bq = jnp.clip(jnp.round(b32 / qscale[None, :]), -127, 127).astype(jnp.int8)
+        b_pad = jnp.zeros((mat.n_in_pad, d_pad), jnp.int8).at[:n, :d].set(bq)
+        out = _edge_call(mat, b_pad).astype(jnp.float32)
+        return (
+            out[: mat.n_out, :d]
+            * (mat.row_scale[:, None] / 127.0)
+            * qscale[None, :]
+        )
     b_pad = jnp.zeros((mat.n_in_pad, d_pad), cdtype)
     b_pad = b_pad.at[:n, :d].set(b.astype(cdtype))
     out = _edge_call(mat, b_pad)
@@ -581,12 +705,15 @@ def pad_edge_schedule(sched: dict, s_target: int) -> dict:
     tcw_bits = int(sched["tcw_bits"])
     last_tr = int(sched["meta"][-1]) >> (tcw_bits + 1)
     pad_meta = np.full(pad, last_tr << (tcw_bits + 1), np.int32)
+    w = np.asarray(sched["w"])
+    if w.size:  # int8 schedules carry no slot-weight array
+        w = np.concatenate([w, np.zeros((pad * CPS, K), np.float32)])
     return {
         **sched,
         "idx": np.concatenate(
             [sched["idx"], np.zeros((pad * CPS, K), np.int32)]
         ),
-        "w": np.concatenate([sched["w"], np.zeros((pad * CPS, K), np.float32)]),
+        "w": w,
         "meta": np.concatenate([np.asarray(sched["meta"]), pad_meta]),
         "chi": np.concatenate([sched["chi"], np.zeros((pad, CPS), np.int32)]),
         "fill": float(sched["nnz"]) / max(s_target * CPS * K, 1),
@@ -806,6 +933,11 @@ def spmm_edge_tiles_t(
     if n != mat.n_out:
         raise ValueError(f"A has {n} rows, transposed edge-tile expects {mat.n_out}")
     cdtype = mat.compute_dtype
+    if cdtype == jnp.int8:
+        raise ValueError(
+            "the transposed edge-tile kernel has no int8 mode — build the "
+            "pair in bfloat16 for attention/gradient paths"
+        )
     if w_slots is None:
         w = mat.w  # builder weights are already zero on padding slots
     else:

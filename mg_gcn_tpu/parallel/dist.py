@@ -311,7 +311,7 @@ def _ring_perm(parts: int):
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["idx", "w", "meta"],
+    data_fields=["idx", "w", "meta", "meta2"],
     meta_fields=["n", "parts", "nnz"],
 )
 @dataclass(frozen=True)
@@ -326,6 +326,7 @@ class DistGatherMat:
     idx: jax.Array  # i32[P, P, S, E_BLK]
     w: jax.Array  # f32[P, P, S, E_BLK]
     meta: jax.Array  # i32[P, P, S]
+    meta2: jax.Array  # i32[P, P, S] (pair/single trip counts)
     n: int
     parts: int
     nnz: int
@@ -342,7 +343,7 @@ class DistGatherMat:
         part = host_sparse.uniform_partition(n, parts)
         blocks = host_sparse.partition_blocks(csr, part, part)
         scheds = [
-            [sg.gather_schedule_host(blocks[j][(j + s) % parts]) for s in range(parts)]
+            [sg.gather_schedule_host(blocks[j][(j + s) % parts], binary=False) for s in range(parts)]
             for j in range(parts)
         ]
         S_max = max(s["meta"].shape[0] for row in scheds for s in row)
@@ -354,7 +355,7 @@ class DistGatherMat:
         )
         return DistGatherMat(
             idx=stack("idx"), w=stack("w"), meta=stack("meta"),
-            n=n, parts=parts, nnz=csr.nnz,
+            meta2=stack("meta2"), n=n, parts=parts, nnz=csr.nnz,
         )
 
 
@@ -381,7 +382,7 @@ class DistGatherPair:
         return jax.tree.map(lambda _: NamedSharding(mesh, P(GRAPH_AXIS)), self)
 
 
-GATHER_MAT_FIELDS = ("idx", "w", "meta")
+GATHER_MAT_FIELDS = ("idx", "w", "meta", "meta2")
 
 
 def dist_aggregate_gather(mat_local: dict, h: jax.Array, parts: int) -> jax.Array:
@@ -402,6 +403,8 @@ def dist_aggregate_gather(mat_local: dict, h: jax.Array, parts: int) -> jax.Arra
             idx=mat_local["idx"][s],
             w=mat_local["w"][s],
             meta=mat_local["meta"][s],
+            meta2=mat_local["meta2"][s],
+            scale=None,
             n_out=m_loc,
             n_in=m_loc,
             n_out_pad=n_out_pad,

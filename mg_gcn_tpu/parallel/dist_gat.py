@@ -215,7 +215,10 @@ def _attend_head_dist(g: DistGatGraph, local, zh, e_dst, e_src, slope, parts):
         if s + 1 < parts:
             vis = jax.lax.ppermute(vis, GRAPH_AXIS, perm=perm)
 
-    # global-max stabilization (constant shift; see ops.edge_attention)
+    # per-row stabilization, mirroring ops.edge_attention.slot_softmax:
+    # a clipped global-shift pass estimates each (row-local) row's LSE,
+    # then the real normalization shifts by that per-row constant. The
+    # row sums are row-local (no extra comm beyond the d=1 slot passes).
     smax_loc = jnp.max(
         jnp.stack([jnp.max(jnp.where(v > 0, sc, -jnp.inf)) for sc, v in zip(scores, valids)])
     )
@@ -223,12 +226,19 @@ def _attend_head_dist(g: DistGatGraph, local, zh, e_dst, e_src, slope, parts):
     smax = jax.lax.pmax(jax.lax.stop_gradient(smax_loc), GRAPH_AXIS)
     smax = jnp.where(jnp.isfinite(smax), smax, 0.0)
 
-    rowsum = jnp.zeros((m_loc, 1), jnp.float32)
-    exps = []
+    rs1 = jnp.zeros((m_loc, 1), jnp.float32)
     for s in range(parts):
         mat, sched = _round_ops(g, local, s)
-        e = jnp.where(valids[s] > 0, jnp.exp(scores[s] - smax), 0.0)
-        exps.append(e)
+        sg = jax.lax.stop_gradient(scores[s])
+        e1 = jnp.where(valids[s] > 0, jnp.exp(jnp.clip(sg - smax, -80.0, 0.0)), 0.0)
+        rs1 = rs1 + spmm_attn(mat, sched, e1, ones)
+    lse1 = jax.lax.stop_gradient(smax + jnp.log(jnp.maximum(rs1, 1e-30)))
+
+    rowsum = jnp.zeros((m_loc, 1), jnp.float32)
+    for s in range(parts):
+        mat, sched = _round_ops(g, local, s)
+        shift = jax.lax.stop_gradient(sddmm(mat, sched, lse1, ones))
+        e = jnp.where(valids[s] > 0, jnp.exp(scores[s] - shift), 0.0)
         rowsum = rowsum + spmm_attn(mat, sched, e, ones)
     log_rs = jnp.log(jnp.maximum(rowsum, 1e-30))
 
@@ -237,9 +247,10 @@ def _attend_head_dist(g: DistGatGraph, local, zh, e_dst, e_src, slope, parts):
     out = jnp.zeros((m_loc, zh.shape[1]), jnp.float32)
     for s in range(parts):
         mat, sched = _round_ops(g, local, s)
+        shift = jax.lax.stop_gradient(sddmm(mat, sched, lse1, ones))
         slot_lrs = sddmm(mat, sched, log_rs, ones)
         alpha = jnp.where(
-            valids[s] > 0, jnp.exp(scores[s] - smax - slot_lrs), 0.0
+            valids[s] > 0, jnp.exp(scores[s] - shift - slot_lrs), 0.0
         )
         out = out + spmm_attn(mat, sched, alpha, vis_z)
         if s + 1 < parts:

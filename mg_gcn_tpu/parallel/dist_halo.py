@@ -254,9 +254,11 @@ def _coo_to_csr(rows: np.ndarray, cols: np.ndarray, vals, n_rows: int, n_cols: i
         "loc_idx",
         "loc_w",
         "loc_meta",
+        "loc_meta2",
         "rem_idx",
         "rem_w",
         "rem_meta",
+        "rem_meta2",
         "send_idx",
     ],
     meta_fields=["n", "parts", "nnz", "halo_width", "halo_total", "round_widths"],
@@ -275,9 +277,11 @@ class DistHaloGatherMat:
     loc_idx: jax.Array  # i32[P, S_loc, E_BLK]
     loc_w: jax.Array  # f32[P, S_loc, E_BLK]
     loc_meta: jax.Array  # i32[P, S_loc]
+    loc_meta2: jax.Array  # i32[P, S_loc]
     rem_idx: tuple  # S arrays i32[P, S_s, E_BLK]
     rem_w: tuple
     rem_meta: tuple
+    rem_meta2: tuple
     send_idx: tuple  # S arrays i32[P, w_s]
     n: int
     parts: int
@@ -310,14 +314,14 @@ class DistHaloGatherMat:
 
         def scheds_of(blocks):
             """Uniform-step gather schedules for one round across devices."""
-            out = [sg.gather_schedule_host(b) for b in blocks]
+            out = [sg.gather_schedule_host(b, binary=False) for b in blocks]
             S_max = max(o["meta"].shape[0] for o in out)
             return [sg.pad_schedule_steps(o, S_max) for o in out]
 
         loc_sched = scheds_of(
             [_coo_to_csr(*loc_blocks[j], m_loc, m_loc) for j in range(parts)]
         )
-        rem_idx, rem_w, rem_meta, send_idx = [], [], [], []
+        rem_idx, rem_w, rem_meta, rem_meta2, send_idx = [], [], [], [], []
         for s in range(S):
             blocks = [
                 _coo_to_csr(*compact[j][s], m_loc, widths[s]) for j in range(parts)
@@ -326,6 +330,7 @@ class DistHaloGatherMat:
             rem_idx.append(jnp.stack([o["idx"] for o in sch]))
             rem_w.append(jnp.stack([o["w"] for o in sch]))
             rem_meta.append(jnp.stack([o["meta"] for o in sch]))
+            rem_meta2.append(jnp.stack([o["meta2"] for o in sch]))
             si = np.zeros((parts, widths[s]), np.int32)
             for j in range(parts):
                 hc = halos[j][s]
@@ -335,9 +340,11 @@ class DistHaloGatherMat:
             loc_idx=jnp.stack([o["idx"] for o in loc_sched]),
             loc_w=jnp.stack([o["w"] for o in loc_sched]),
             loc_meta=jnp.stack([o["meta"] for o in loc_sched]),
+            loc_meta2=jnp.stack([o["meta2"] for o in loc_sched]),
             rem_idx=tuple(rem_idx),
             rem_w=tuple(rem_w),
             rem_meta=tuple(rem_meta),
+            rem_meta2=tuple(rem_meta2),
             send_idx=tuple(send_idx),
             n=n,
             parts=parts,
@@ -354,14 +361,16 @@ GATHER_HALO_FIELDS = (
     "loc_idx",
     "loc_w",
     "loc_meta",
+    "loc_meta2",
     "rem_idx",
     "rem_w",
     "rem_meta",
+    "rem_meta2",
     "send_idx",
 )
 
 
-def _halo_gather_mat(idx, w, meta, m_loc: int, n_cols: int):
+def _halo_gather_mat(idx, w, meta, meta2, m_loc: int, n_cols: int):
     from ..ops import spmm_gather as sg
 
     n_out_pad = _round_up(m_loc, sg.R_ROWS)
@@ -371,6 +380,8 @@ def _halo_gather_mat(idx, w, meta, m_loc: int, n_cols: int):
         idx=idx,
         w=w,
         meta=meta,
+        meta2=meta2,
+        scale=None,
         n_out=m_loc,
         n_in=n_cols,
         n_out_pad=n_out_pad,
@@ -392,7 +403,7 @@ def dist_aggregate_halo_gather(mat_local: dict, h: jax.Array, parts: int) -> jax
     c = spmm_gather(
         _halo_gather_mat(
             mat_local["loc_idx"], mat_local["loc_w"], mat_local["loc_meta"],
-            m_loc, m_loc,
+            mat_local["loc_meta2"], m_loc, m_loc,
         ),
         h,
     )
@@ -407,6 +418,7 @@ def dist_aggregate_halo_gather(mat_local: dict, h: jax.Array, parts: int) -> jax
                 mat_local["rem_idx"][s],
                 mat_local["rem_w"][s],
                 mat_local["rem_meta"][s],
+                mat_local["rem_meta2"][s],
                 m_loc,
                 round_widths[s],
             ),

@@ -39,7 +39,14 @@ def _gather_feasible(n_out: int, n_in: int, nnz: int) -> bool:
     # conservative: actual S <= nnz/E_BLK + groups (<= n_st*n_win) +
     # dummy/pad steps (<= n_st + 8)
     steps_est = nnz // spmm_gather.E_BLK + n_st * n_win + n_st + 16
-    return steps_est < spmm_gather.MAX_STEPS_G and n_st * n_win <= 1 << 18
+    # bit budget with the builder's own ceil(log2) formula (a product
+    # check passes non-power-of-two counts whose bit sum overflows)
+    st_bits = max(int(np.ceil(np.log2(max(n_st, 2)))), 1)
+    win_bits = max(int(np.ceil(np.log2(max(n_win, 2)))), 1)
+    return (
+        steps_est < spmm_gather.MAX_STEPS_G
+        and st_bits + win_bits + 1 + spmm_gather.LIVE_BITS <= 31
+    )
 
 
 def _edge_or_gather(graph: CSRData) -> str:
@@ -165,20 +172,49 @@ def build_agg_pair(
             graph, dtype=pattern_dtype
         )
         return AggPair(fwd=fwd, bwd=bwd)
+    if impl == "gather" and not pre_normalized and bool((graph.data == 1).all()):
+        # binary adjacency: the in-degree normalization factors into
+        # diagonal scales around w-less binary walks (half the SMEM
+        # traffic and transfer bytes)
+        from .ops.spmm_gather import gather_pair_from_binary_csr
+
+        try:
+            fwd, bwd = gather_pair_from_binary_csr(graph)
+            return AggPair(fwd=fwd, bwd=bwd)
+        except ValueError as exc:
+            print(
+                f"gather schedule infeasible ({exc}); falling back to "
+                "the COO/XLA engine",
+                file=sys.stderr,
+            )
+            a = sparse.normalize(graph, axis=True)
+            return AggPair(
+                fwd=COOMat.from_csr(sparse.transpose(a)), bwd=COOMat.from_csr(a)
+            )
     a = graph if pre_normalized else sparse.normalize(graph, axis=True)
     a_t = sparse.transpose(a)
     if impl == "gather":
         from .ops.spmm_gather import gather_pair_from_csr_pair
 
-        fwd, bwd = gather_pair_from_csr_pair(a_t, a)
-        return AggPair(fwd=fwd, bwd=bwd)
+        try:
+            fwd, bwd = gather_pair_from_csr_pair(a_t, a)
+            return AggPair(fwd=fwd, bwd=bwd)
+        except ValueError as exc:
+            # schedule too large for single-chip SMEM — COO/XLA still works,
+            # but say so (silent degradation misattributes bench numbers)
+            print(
+                f"gather schedule infeasible ({exc}); falling back to "
+                "the COO/XLA engine",
+                file=sys.stderr,
+            )
+            return AggPair(fwd=COOMat.from_csr(a_t), bwd=COOMat.from_csr(a))
     if impl == "edge":
         from .ops.spmm_edges import edge_pair_from_csr_pair
 
-        # int8 is a pattern-kernel mode; the edge kernel carries real values
-        dtype = "bfloat16" if pattern_dtype == "int8" else pattern_dtype
+        # int8 rides the idx-packed quantized-weight mode (2x MXU rate,
+        # per-row weight scales + per-feature operand scales)
         try:
-            fwd, bwd = edge_pair_from_csr_pair(a_t, a, dtype=dtype)
+            fwd, bwd = edge_pair_from_csr_pair(a_t, a, dtype=pattern_dtype)
             return AggPair(fwd=fwd, bwd=bwd)
         except ValueError as exc:
             # schedule too large for single-chip SMEM — COO/XLA still works,
@@ -294,6 +330,7 @@ def train(
     hparams: dict | None = None,
     config_kw: dict | None = None,
     impl: str = "xla",
+    pattern_dtype: str = "bfloat16",
     seed: int | None = None,
     log: bool = True,
     timers: TimerRegistry | None = None,
@@ -308,7 +345,7 @@ def train(
     """
     sizes = (dataset.num_features, *hidden, dataset.num_labels)
     config = GCNConfig(sizes=tuple(int(s) for s in sizes), **(config_kw or {}))
-    pair = build_agg_pair(dataset.graph, impl=impl)
+    pair = build_agg_pair(dataset.graph, impl=impl, pattern_dtype=pattern_dtype)
     x = jnp.asarray(dataset.features, jnp.float32)
     y = jnp.asarray(dataset.labels.reshape(-1), jnp.int32)
     mask = None

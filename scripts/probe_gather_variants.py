@@ -30,7 +30,9 @@ d = int(sys.argv[3]) if len(sys.argv) > 3 else 128
 chain = 10
 
 g = sparse.random_graph(n, avg_degree=deg, seed=0, weights="uniform")
-mat = sg.gather_mat_from_csr(g)
+# pair=False: the isolation variants below walk the all-singles layout
+# (the shipped kernel's paired layout is probed via the public API)
+mat = sg.gather_mat_from_host(sg.gather_schedule_host(g, pair=False))
 print(f"n={n} nnz={g.nnz} d={d} steps={mat.num_steps} fill={mat.fill:.3f}", flush=True)
 rng = np.random.default_rng(1)
 b = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
@@ -94,7 +96,7 @@ def make_kernel(variant, unroll):
             return 0
 
         if unroll == 1:
-            jax.lax.fori_loop(0, m & ((1 << LIVE_BITS) - 1), body, 0)
+            jax.lax.fori_loop(0, m & ((1 << LIVE_BITS) - 1), body, 0)  # live == ls here (pair=False)
         elif variant == "twophase":
             jax.lax.fori_loop(0, E_BLK // unroll, body_twophase, 0)
         else:

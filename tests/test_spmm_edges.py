@@ -183,3 +183,55 @@ def test_paired_apply_matches(paired):
     assert mat.paired == paired
     got = np.asarray(se.spmm_edge_tiles(mat, jnp.asarray(b)))
     np.testing.assert_allclose(got, csr.to_dense() @ b, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_mode_close():
+    """int8 mode (per-row weight scales packed in the idx words +
+    per-feature operand quantization) stays within 8-bit rounding of the
+    exact product, for signed weights."""
+    csr = weighted_csr(300, density=0.05, seed=15)
+    got, want, mat = run_case(csr, 16, dtype="int8", seed=16)
+    assert mat.w is None and mat.row_scale is not None
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 0.03
+
+
+def test_int8_empty_rows_and_matrix():
+    csr = weighted_csr(120, density=0.03, seed=17)
+    got, want, _ = run_case(csr, 8, dtype="int8", seed=18)
+    assert np.abs(got - want).max() / max(np.abs(want).max(), 1e-9) < 0.03
+    empty = CSRData(
+        np.zeros(51, np.int64), np.zeros(0, np.int32), np.zeros(0, np.float32), (50, 50)
+    )
+    got0, want0, _ = run_case(empty, 8, dtype="int8")
+    np.testing.assert_array_equal(got0, 0)
+
+
+def test_int8_rejects_attention_and_transpose():
+    import dataclasses
+
+    from mg_gcn_tpu.ops import edge_attention as ea
+
+    csr = weighted_csr(100, density=0.05, seed=19)
+    mat = se.edge_tile_mat_from_csr(csr, dtype="int8")
+    with pytest.raises(ValueError):
+        ea._with_w(mat, jnp.zeros(mat.idx.shape, jnp.float32))
+    sched = se.transposed_schedule(mat)
+    with pytest.raises(ValueError):
+        se.spmm_edge_tiles_t(mat, sched, jnp.zeros((mat.n_out, 8), jnp.float32))
+
+
+def test_sddmm_on_int8_mat_uses_structure_only():
+    """SDDMM shares the int8 mat's structure (idx payload masked off) and
+    returns bf16-accuracy scores."""
+    from mg_gcn_tpu.ops.sddmm import sddmm_edge_tiles
+
+    csr = weighted_csr(200, density=0.05, seed=20)
+    rng = np.random.default_rng(21)
+    a = rng.standard_normal((200, 16)).astype(np.float32)
+    b = rng.standard_normal((200, 16)).astype(np.float32)
+    m8 = se.edge_tile_mat_from_csr(csr, dtype="int8")
+    mb = se.edge_tile_mat_from_csr(csr, dtype="bfloat16", br=m8.br, paired=m8.paired)
+    s8 = np.asarray(sddmm_edge_tiles(m8, jnp.asarray(a), jnp.asarray(b)))
+    sb = np.asarray(sddmm_edge_tiles(mb, jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(s8, sb, rtol=0, atol=1e-5)

@@ -11,6 +11,7 @@ import scipy.sparse as sp
 
 import jax.numpy as jnp
 
+from mg_gcn_tpu import sparse
 from mg_gcn_tpu.formats import CSRData
 from mg_gcn_tpu.ops import spmm_gather as sg
 
@@ -135,3 +136,46 @@ def test_spmm_dispatch_and_aggregate_vjp():
     g = jax.grad(f)(jnp.asarray(b))
     want_g = 2 * (csr.to_scipy().T @ (csr.to_scipy() @ b))
     np.testing.assert_allclose(np.asarray(g), want_g, rtol=1e-4, atol=1e-4)
+
+
+def test_binary_pair_matches_normalized_weighted():
+    """gather_pair_from_binary_csr (w-less walk + diagonal scales) must
+    reproduce the normalize(axis=True) weighted pair exactly."""
+    g = sparse.random_graph(300, avg_degree=9, seed=23, weights="ones")
+    fwd_b, bwd_b = sg.gather_pair_from_binary_csr(g)
+    assert fwd_b.w is None and bwd_b.w is None
+    a = sparse.normalize(g, axis=True)
+    a_t = sparse.transpose(a)
+    fwd_w, bwd_w = sg.gather_pair_from_csr_pair(a_t, a)
+    rng = np.random.default_rng(24)
+    b = jnp.asarray(rng.standard_normal((300, 8)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(sg.spmm_gather(fwd_b, b)),
+        np.asarray(sg.spmm_gather(fwd_w, b)),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sg.spmm_gather(bwd_b, b)),
+        np.asarray(sg.spmm_gather(bwd_w, b)),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_pairing_matches_unpaired():
+    """pair=True (run-coalesced entries) must be numerically identical to
+    the all-singles layout."""
+    g = sparse.random_graph(500, avg_degree=20, seed=25, weights="uniform")
+    mp = sg.gather_mat_from_host(sg.gather_schedule_host(g, pair=True))
+    ms = sg.gather_mat_from_host(sg.gather_schedule_host(g, pair=False))
+    lp = np.asarray(mp.meta2) & ((1 << sg.LP_BITS) - 1)
+    assert 2 * int(lp.sum()) > g.nnz // 2  # dense-enough rows actually pair
+    lps = np.asarray(ms.meta2) & ((1 << sg.LP_BITS) - 1)
+    assert int(lps.sum()) == 0
+    rng = np.random.default_rng(26)
+    b = jnp.asarray(rng.standard_normal((500, 8)).astype(np.float32))
+    # accumulation order differs between layouts: compare in f32 terms
+    np.testing.assert_allclose(
+        np.asarray(sg.spmm_gather(mp, b)),
+        np.asarray(sg.spmm_gather(ms, b)),
+        rtol=1e-4, atol=1e-5,
+    )

@@ -9,7 +9,14 @@ reproduced here exactly.
 
 Unlike the reference, which synchronizes host<->device every iteration to
 evaluate the stopping test on the CPU (pagerank.hpp:28-34), the TPU version
-runs the whole loop on-device inside ``lax.while_loop`` and returns once.
+runs CHUNK iterations per dispatch inside ``lax.scan`` (collecting every
+iterate's L-inf change) and evaluates the stopping test on the host between
+chunks, then returns the exact first iterate whose change crossed eps — the
+same stopping rule as the reference, ~CHUNK× fewer dispatches. (A fully
+on-device ``lax.while_loop`` was measured at 1.2 s/iteration through the
+axon tunnel — the data-dependent cond forces a host round-trip per
+iteration on this platform — vs 30 ms/iteration for fixed-trip loops;
+scripts/probe_pagerank.py.)
 """
 
 from __future__ import annotations
@@ -83,6 +90,49 @@ def _pagerank_mat(graph: CSRData, impl: str = "auto"):
     return COOMat.from_csr(a_t)
 
 
+CHUNK = 8  # power iterations per dispatch
+
+
+def power_iterate(
+    mat,
+    n: int,
+    damping: float = 0.85,
+    eps: float = 1e-4,
+    max_iters: int = 1000,
+) -> tuple[np.ndarray, int]:
+    """The chunked power iteration on any device sparse op ``mat`` with
+    n rows/cols: returns ``(p, iters)`` where ``p`` is the EXACT iterate at
+    which the reference's stopping rule (L∞ change < eps, do-while —
+    pagerank.hpp:28-34) first fires. Each dispatch runs CHUNK iterations,
+    stacking the iterates (CHUNK·n f32, a few MB) and their L∞ changes;
+    the host picks the first crossing."""
+
+    @jax.jit
+    def chunk(mat, p):
+        def body(p, _):
+            p_new = spmm(mat, damping * p + (1.0 - damping))
+            err = jnp.max(jnp.abs(p_new - p))
+            return p_new, (p_new[:, 0], err)
+
+        p_last, (ps, errs) = jax.lax.scan(body, p, None, length=CHUNK)
+        return p_last, ps, errs
+
+    p = jnp.ones((n, 1), jnp.float32)
+    done_iters = 0
+    while done_iters < max_iters:
+        allowed = max_iters - done_iters  # cap at max_iters like it < max_iters
+        p, ps, errs = chunk(mat, p)
+        errs_h = np.asarray(errs)
+        hit = np.flatnonzero(errs_h[:allowed] < eps)
+        if hit.size:
+            k = int(hit[0])
+            return np.asarray(ps[k]), done_iters + k + 1
+        if allowed <= CHUNK:  # iteration budget exhausted mid-chunk
+            return np.asarray(ps[allowed - 1]), max_iters
+        done_iters += CHUNK
+    return np.asarray(p).reshape(-1), done_iters
+
+
 def pagerank(
     graph: CSRData,
     damping: float = 0.85,
@@ -93,28 +143,8 @@ def pagerank(
     """Returns the mean-1-normalized PageRank vector (n,)."""
     mat = _pagerank_mat(graph, impl)
     n = graph.nrows
-
-    @jax.jit
-    def run(mat):
-        p0 = jnp.ones((n, 1), jnp.float32)
-
-        def cond(state):
-            p, p_prev, it = state
-            err = jnp.max(jnp.abs(p - p_prev))
-            return jnp.logical_and(err >= eps, it < max_iters)
-
-        def body(state):
-            p, _, it = state
-            p_new = spmm(mat, damping * p + (1.0 - damping))
-            return p_new, p, it + 1
-
-        # first iteration unconditionally, mirroring the reference's do-while
-        p1 = spmm(mat, damping * p0 + (1.0 - damping))
-        p, _, _ = jax.lax.while_loop(cond, body, (p1, p0, jnp.int32(1)))
-        k = n / jnp.sum(p)
-        return (p * k).reshape(-1)
-
-    return np.asarray(run(mat))
+    p, _ = power_iterate(mat, n, damping, eps, max_iters)
+    return p * (n / p.sum())
 
 
 def pagerank_dist(

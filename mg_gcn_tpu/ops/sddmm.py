@@ -15,14 +15,22 @@ composes without any gather/scatter:
     out   = spmm_edge_tiles(replace(mat, w=alpha), B) # weighted aggregation
 
 Kernel, per 128-slot chunk of a (br x 128) sub-tile (all MXU + lane-aligned
-VPU, no gathers — v5e has no cross-vreg gather):
+VPU, no gathers — v5e has no cross-vreg gather). Selection formulation: the
+d-contraction is deferred past the row/column selects, so the two MXU
+products are *selection* matmuls whose cost is K·(br+BC)·d instead of the
+round-2 dense-tile form's br·BC·(d/2 + K) — measured 1.3× in bf16 and,
+because selections of int8 values are exact, it admits an int8 mode (both
+matmuls at the 2× MXU rate, ~2.6× total):
 
-    T  = A_blk @ B_subᵀ          (br, BC)   dense tile of candidate scores
-    W2 = T @ Hg                  (br, K)    column-select per slot
-    s_e = Σ_r Hr[r, e] · W2[r, e]           row-select + reduce (VPU)
+    Ar  = Hrᵀ @ A_blk            (K, d)    slot-row select   [masked by valid]
+    Bc  = Hgᵀ @ B_sub            (K, d)    slot-column select
+    s_e = Σ_d Ar[e, :]·Bc[e, :]·g[:]       lane-wise product + reduce (VPU)
 
-Chunk pairs share their B sub-window when ``mat.paired`` (T amortized).
-Padding slots yield exactly 0 (the VALID_BIT mask in the slot words).
+``g`` is all-ones in f32/bf16 and the per-feature dequant product
+``qa_d·qb_d`` in int8 mode (per-feature quantization commutes with this
+form because the d-index survives until the final reduce — it does NOT
+commute with the dense-tile form, whose contraction crosses features).
+Padding slots yield exactly 0 (their one-hot column in Hr is zeroed).
 
 Gradients: see :mod:`.edge_attention` — ``dA = M(g) @ B`` rides the
 weighted SpMM and ``dB = Mᵀ(g) @ A`` the transposed-schedule kernel
@@ -42,50 +50,46 @@ from .spmm_pattern import round_up
 from .spmm_edges import BC, CPS, IDX_MASK, K, RL_MASK, EdgeTileMat, interpret_default
 
 
-def _sddmm_kernel(meta_ref, chi_ref, idx_ref, a_ref, b_ref, out_ref, *, br, cdtype, paired):
+def _sddmm_kernel(meta_ref, chi_ref, idx_ref, a_ref, b_ref, g_ref, out_ref, *, br, cdtype):
     s = pl.program_id(0)
     prec = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else None
+    int8 = cdtype == jnp.int8
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (br, K), 0)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (BC, K), 0)
     a_blk = a_ref[:]
     if a_blk.dtype != cdtype:
         a_blk = a_blk.astype(cdtype)
+    g_row = g_ref[0:1, :]  # (1, d) f32 per-feature dequant (ones off int8)
 
-    def tile(c):
-        """T = A_blk @ B_subᵀ for chunk c's sub-window."""
-        bsub = b_ref[pl.ds(chi_ref[s % 8, c] * BC, BC), :]
-        if bsub.dtype != cdtype:
-            bsub = bsub.astype(cdtype)
-        return jax.lax.dot_general(
-            a_blk,
-            bsub,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        )  # (br, BC)
-
-    def chunk_scores(c, t):
+    for c in range(CPS):
         vraw = idx_ref[c : c + 1, :]  # (1, K) i32
         v = vraw & IDX_MASK
         rl = (v >> 7) & RL_MASK  # int8-packed idx words carry wq above bit 17
         cl = v & (BC - 1)
-        hg = (iota_c == cl).astype(jnp.float32).astype(cdtype)  # (BC, K)
-        w2 = jnp.dot(
-            t.astype(cdtype), hg, preferred_element_type=jnp.float32, precision=prec
-        )  # (br, K): w2[r, e] = T[r, cl_e]
-        hr = (iota_r == rl).astype(jnp.float32)  # (br, K)
-        score = jnp.sum(hr * w2, axis=0, keepdims=True)  # (1, K): T[rl_e, cl_e]
-        valid = ((vraw >> 30) & 1).astype(jnp.float32)
-        out_ref[c : c + 1, :] = score * valid
-
-    if paired:
-        for p in range(CPS // 2):
-            t = tile(2 * p)
-            chunk_scores(2 * p, t)
-            chunk_scores(2 * p + 1, t)
-    else:
-        for c in range(CPS):
-            chunk_scores(c, tile(c))
+        valid = (vraw >> 30) & 1
+        # zero the one-hot column of padding slots -> their score is exact 0
+        hr = ((iota_r == rl) & (valid != 0)).astype(cdtype)  # (br, K)
+        hg = (iota_c == cl).astype(cdtype)  # (BC, K)
+        ar = jax.lax.dot_general(
+            hr,
+            a_blk,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32 if int8 else jnp.float32,
+            precision=prec,
+        )  # (K, d): A_blk[rl_e, :] selected per slot (exact in any dtype)
+        bsub = b_ref[pl.ds(chi_ref[s % 8, c] * BC, BC), :]
+        if bsub.dtype != cdtype:
+            bsub = bsub.astype(cdtype)
+        bc = jax.lax.dot_general(
+            hg,
+            bsub,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32 if int8 else jnp.float32,
+            precision=prec,
+        )  # (K, d): B_sub[cl_e, :]
+        # products <= 127²·d < 2³¹ in int8 mode: the i32 product is exact
+        prod = (ar * bc).astype(jnp.float32) * g_row  # (K, d)
+        out_ref[:, c : c + 1] = jnp.sum(prod, axis=1, keepdims=True)
 
 
 def sddmm_edge_tiles(mat: EdgeTileMat, a: jax.Array, b: jax.Array) -> jax.Array:
@@ -93,7 +97,13 @@ def sddmm_edge_tiles(mat: EdgeTileMat, a: jax.Array, b: jax.Array) -> jax.Array:
     ``mat`` (structure/schedule only; ``mat.w`` is not read). Returns an
     f32 array shaped like ``mat.w`` — feed it (or any slotwise transform)
     back through ``dataclasses.replace(mat, w=...)`` for weighted
-    aggregation. A must be (n_out, d), B (n_in, d)."""
+    aggregation. A must be (n_out, d), B (n_in, d).
+
+    When ``mat`` is an int8-mode matrix the scores run on the 2× int8 MXU
+    path: A and B are quantized per feature on device (the spmm_edges
+    convention) and the per-feature dequant product rides the final VPU
+    reduce — error is the 8-bit rounding of the operands (~1% relative),
+    the same budget as int8 weighted SpMM."""
     if a.shape[0] != mat.n_out or b.shape[0] != mat.n_in:
         raise ValueError(
             f"A/B have {a.shape[0]}/{b.shape[0]} rows; mat expects "
@@ -104,24 +114,31 @@ def sddmm_edge_tiles(mat: EdgeTileMat, a: jax.Array, b: jax.Array) -> jax.Array:
     d = a.shape[1]
     if d > 512:
         # VMEM bounds the operand blocks; scores are additive over feature
-        # chunks (the d-contraction lives inside T)
+        # chunks (the d-contraction lives past the selects)
         return sum(
             sddmm_edge_tiles(mat, a[:, i : i + 512], b[:, i : i + 512])
             for i in range(0, d, 512)
         )
     cdtype = mat.compute_dtype
-    if cdtype == jnp.int8:
-        # int8 mats share structure with the dense compute here; scores are
-        # activations-only math, so run them in bf16 (the int8 payload in
-        # the idx words is masked off by RL_MASK / IDX_MASK)
-        cdtype = jnp.bfloat16
     d_pad = round_up(max(d, 128), 128)
-    a_pad = jnp.zeros((mat.n_out_pad, d_pad), cdtype).at[: mat.n_out, :d].set(
-        a.astype(cdtype)
-    )
-    b_pad = jnp.zeros((mat.n_in_pad, d_pad), cdtype).at[: mat.n_in, :d].set(
-        b.astype(cdtype)
-    )
+    if cdtype == jnp.int8:
+        a32 = a.astype(jnp.float32)
+        b32 = b.astype(jnp.float32)
+        qa = jnp.maximum(jnp.max(jnp.abs(a32), axis=0), 1e-30) / 127.0
+        qb = jnp.maximum(jnp.max(jnp.abs(b32), axis=0), 1e-30) / 127.0
+        aq = jnp.clip(jnp.round(a32 / qa[None, :]), -127, 127).astype(jnp.int8)
+        bq = jnp.clip(jnp.round(b32 / qb[None, :]), -127, 127).astype(jnp.int8)
+        a_pad = jnp.zeros((mat.n_out_pad, d_pad), jnp.int8).at[: mat.n_out, :d].set(aq)
+        b_pad = jnp.zeros((mat.n_in_pad, d_pad), jnp.int8).at[: mat.n_in, :d].set(bq)
+        g = jnp.zeros((8, d_pad), jnp.float32).at[0, :d].set(qa * qb)
+    else:
+        a_pad = jnp.zeros((mat.n_out_pad, d_pad), cdtype).at[: mat.n_out, :d].set(
+            a.astype(cdtype)
+        )
+        b_pad = jnp.zeros((mat.n_in_pad, d_pad), cdtype).at[: mat.n_in, :d].set(
+            b.astype(cdtype)
+        )
+        g = jnp.ones((8, d_pad), jnp.float32)
     S = mat.num_steps
     br = mat.br
     tcw_bits = mat.tcw_bits
@@ -144,23 +161,27 @@ def sddmm_edge_tiles(mat: EdgeTileMat, a: jax.Array, b: jax.Array) -> jax.Array:
                 lambda s, meta: ((meta[s] >> 1) & tcw_mask, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec((8, d_pad), lambda s, meta: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (CPS, K), lambda s, meta: (s, 0), memory_space=pltpu.VMEM
+            (K, CPS), lambda s, meta: (s, 0), memory_space=pltpu.VMEM
         ),
     )
-    return pl.pallas_call(
-        functools.partial(
-            _sddmm_kernel, br=br, cdtype=cdtype, paired=mat.paired
-        ),
+    itemsize = 1 if cdtype == jnp.int8 else 2
+    out = pl.pallas_call(
+        functools.partial(_sddmm_kernel, br=br, cdtype=cdtype),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((S * CPS, K), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((S * K, CPS), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * S * CPS * (br * BC * d_pad // (2 if mat.paired else 1) + 2 * br * BC * K),
+            flops=2 * S * CPS * K * (br + BC) * d_pad
+            // (2 if cdtype == jnp.int8 else 1),
             bytes_accessed=mat.idx.size * 4
-            + S * (br + BCW) * d_pad * 2
+            + S * (br + BCW) * d_pad * itemsize
             + S * CPS * K * 4,
             transcendentals=0,
         ),
         interpret=interpret_default(),
-    )(mat.meta, mat.chi, mat.idx, a_pad, b_pad)
+    )(mat.meta, mat.chi, mat.idx, a_pad, b_pad, g)
+    # kernel emits scores slot-major within each step's (K, CPS) block;
+    # transpose back to the (S·CPS, K) slot layout mat.w uses
+    return out.reshape(S, K, CPS).transpose(0, 2, 1).reshape(S * CPS, K)

@@ -56,6 +56,18 @@ def make_mesh(num_devices: int | None = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
         if num_devices is not None:
+            if len(devices) < num_devices:
+                # slicing past the end would silently build a smaller mesh
+                # and produce WRONG results (each shard body then sees every
+                # partition's blocks but walks only its own) — refuse loudly
+                raise ValueError(
+                    f"make_mesh({num_devices}) but only {len(devices)} "
+                    f"device(s) visible on backend "
+                    f"{jax.default_backend()!r}; for CPU simulation set "
+                    "JAX_PLATFORMS=cpu via jax.config (the axon "
+                    "sitecustomize overrides the env var) and "
+                    "XLA_FLAGS=--xla_force_host_platform_device_count=N"
+                )
             devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (GRAPH_AXIS,))
 

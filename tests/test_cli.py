@@ -29,7 +29,9 @@ def run_cli(args, cwd):
         cwd=cwd,
         capture_output=True,
         text=True,
-        timeout=300,
+        # the dist-GAT case compiles a 4-device mesh of slot-softmax rings
+        # and takes ~260 s on an unloaded CPU — 300 s flaked under load
+        timeout=540,
     )
 
 

@@ -56,7 +56,9 @@ def slot_oracle(mat, csr, a, b):
             v = idx[g]
             valid = (v >> 30) & 1
             pk = v & se.IDX_MASK
-            rl, cl = pk >> 7, pk & (se.BC - 1)
+            # int8-mode words carry the quantized weight in bits 18..25 —
+            # mask row_local exactly like the kernel does
+            rl, cl = (pk >> 7) & se.RL_MASK, pk & (se.BC - 1)
             row = tr * mat.br + rl
             col = tcw * se.BCW + int(chi[s, c]) * se.BC + cl
             ok = (valid == 1) & (row < mat.n_out) & (col < mat.n_in)
@@ -120,3 +122,20 @@ def test_attention_composition():
     pat = csr.to_dense()
     dense_alpha = np.exp((a @ a.T).astype(np.float32)) * pat
     np.testing.assert_allclose(out, dense_alpha @ h, rtol=1e-4, atol=1e-4)
+
+
+def test_sddmm_int8_mode():
+    """int8-mode mats run the 2x MXU path with per-feature dequant; error
+    budget = 8-bit operand rounding (~1% relative of the score scale)."""
+    csr = structure_csr(320, density=0.05, seed=9)
+    rng = np.random.default_rng(10)
+    a = rng.standard_normal((320, 32)).astype(np.float32)
+    b = rng.standard_normal((320, 32)).astype(np.float32)
+    mat = se.edge_tile_mat_from_csr(csr, dtype="int8")
+    got = np.asarray(sd.sddmm_edge_tiles(mat, jnp.asarray(a), jnp.asarray(b)))
+    want = slot_oracle(mat, csr, a, b)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=0.03 * scale)
+    # padding slots exactly 0 even in int8 mode
+    valid = (np.asarray(mat.idx) >> 30) & 1
+    assert np.all(got[valid == 0] == 0.0)

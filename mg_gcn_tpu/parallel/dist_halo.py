@@ -255,6 +255,9 @@ def _coo_to_csr(rows: np.ndarray, cols: np.ndarray, vals, n_rows: int, n_cols: i
         "loc_w",
         "loc_meta",
         "loc_meta2",
+        "sc_rows",
+        "sc_cols",
+        "sc_vals",
         "rem_idx",
         "rem_w",
         "rem_meta",
@@ -272,12 +275,27 @@ class DistHaloGatherMat:
     windowed serial-gather kernel (ops/spmm_gather.py) instead of XLA
     gather/segment-sum — ~10x at ultra-sparse per-device block density
     (papers100M-scale, BASELINE config 3). Per-round schedules share one
-    step count across devices (no-op padded) so they stack."""
+    step count across devices (no-op padded) so they stack.
+
+    **Hybrid scatter remainder**: at true papers100M geometry the diagonal
+    block is ~7M×7M (424² super-tile×window groups), and any long-range
+    edge component makes nearly every group non-empty — each costing a
+    schedule step, blowing the SMEM step cap while collapsing slot fill
+    (measured: 180k steps > 150k at n=1.11e8, P=16, 15% uniform edges).
+    Groups thinner than SCATTER_MIN_GROUP edges are therefore routed to a
+    padded COO remainder (``sc_*``) multiplied by the XLA gather/segment-sum
+    path; the windowed majority keeps the gather kernel. The split only
+    activates past GROUP_BUDGET groups, so small/compact blocks (including
+    every per-round halo block, whose columns are compacted) build exactly
+    as before."""
 
     loc_idx: jax.Array  # i32[P, S_loc, E_BLK]
     loc_w: jax.Array  # f32[P, S_loc, E_BLK]
     loc_meta: jax.Array  # i32[P, S_loc]
     loc_meta2: jax.Array  # i32[P, S_loc]
+    sc_rows: jax.Array  # i32[P, E_sc] diagonal-block scatter remainder
+    sc_cols: jax.Array  # i32[P, E_sc]
+    sc_vals: jax.Array  # f32[P, E_sc] (0 on padding)
     rem_idx: tuple  # S arrays i32[P, S_s, E_BLK]
     rem_w: tuple
     rem_meta: tuple
@@ -318,9 +336,24 @@ class DistHaloGatherMat:
             S_max = max(o["meta"].shape[0] for o in out)
             return [sg.pad_schedule_steps(o, S_max) for o in out]
 
-        loc_sched = scheds_of(
-            [_coo_to_csr(*loc_blocks[j], m_loc, m_loc) for j in range(parts)]
-        )
+        # hybrid split of the diagonal block (see class docstring)
+        scatters = []
+        loc_csrs = []
+        for j in range(parts):
+            rows, cols, vals = loc_blocks[j]
+            (rows, cols, vals), sc = _split_scatter(rows, cols, vals, m_loc)
+            scatters.append(sc)
+            loc_csrs.append(_coo_to_csr(rows, cols, vals, m_loc, m_loc))
+            loc_blocks[j] = None
+        e_sc = _round_up(max(max(sc[0].size for sc in scatters), 1), pad_unit)
+        sc_rows = np.full((parts, e_sc), m_loc - 1, np.int32)
+        sc_cols = np.zeros((parts, e_sc), np.int32)
+        sc_vals = np.zeros((parts, e_sc), np.float32)
+        for j, (r, c, v) in enumerate(scatters):
+            sc_rows[j, : r.size] = r
+            sc_cols[j, : c.size] = c
+            sc_vals[j, : v.size] = v
+        loc_sched = scheds_of(loc_csrs)
         rem_idx, rem_w, rem_meta, rem_meta2, send_idx = [], [], [], [], []
         for s in range(S):
             blocks = [
@@ -337,6 +370,9 @@ class DistHaloGatherMat:
                 si[j, : hc.size] = hc
             send_idx.append(jnp.asarray(si))
         return DistHaloGatherMat(
+            sc_rows=jnp.asarray(sc_rows),
+            sc_cols=jnp.asarray(sc_cols),
+            sc_vals=jnp.asarray(sc_vals),
             loc_idx=jnp.stack([o["idx"] for o in loc_sched]),
             loc_w=jnp.stack([o["w"] for o in loc_sched]),
             loc_meta=jnp.stack([o["meta"] for o in loc_sched]),
@@ -362,12 +398,52 @@ GATHER_HALO_FIELDS = (
     "loc_w",
     "loc_meta",
     "loc_meta2",
+    "sc_rows",
+    "sc_cols",
+    "sc_vals",
     "rem_idx",
     "rem_w",
     "rem_meta",
     "rem_meta2",
     "send_idx",
 )
+
+
+GROUP_BUDGET = 20_000  # groups beyond this: split (fill collapses, step cap)
+SCATTER_MIN_GROUP = 256  # groups thinner than this go to the XLA remainder
+
+
+def _split_scatter(rows, cols, vals, m_loc: int):
+    """Split a diagonal block's edges into (windowed, scatter): groups —
+    (super-tile, window) cells of the serial-gather schedule — with fewer
+    than SCATTER_MIN_GROUP edges are routed to a COO remainder for the XLA
+    segment-sum path. No-op (everything windowed) when the block has at
+    most GROUP_BUDGET groups."""
+    from ..ops import spmm_gather as sg
+
+    n_pad = _round_up(max(m_loc, sg.R_ROWS), sg.R_ROWS)
+    n_st = n_pad // sg.R_ROWS
+    n_win = _round_up(max(m_loc, sg.W_ROWS), sg.W_ROWS) // sg.W_ROWS
+    empty = (
+        np.zeros(0, np.int32),
+        np.zeros(0, np.int32),
+        np.zeros(0, np.float32),
+    )
+    if n_st * n_win <= GROUP_BUDGET or rows.size == 0:
+        return (rows, cols, vals), empty
+    gid = (rows.astype(np.int64) // sg.R_ROWS) * n_win + cols.astype(
+        np.int64
+    ) // sg.W_ROWS
+    counts = np.bincount(gid, minlength=n_st * n_win)
+    keep = counts[gid] >= SCATTER_MIN_GROUP
+    sc = (~keep).nonzero()[0]
+    if sc.size == 0:
+        return (rows, cols, vals), empty
+    kp = keep.nonzero()[0]
+    return (
+        (rows[kp], cols[kp], vals[kp]),
+        (rows[sc], cols[sc], vals[sc].astype(np.float32)),
+    )
 
 
 def _halo_gather_mat(idx, w, meta, meta2, m_loc: int, n_cols: int):
@@ -407,6 +483,11 @@ def dist_aggregate_halo_gather(mat_local: dict, h: jax.Array, parts: int) -> jax
         ),
         h,
     )
+    # hybrid scatter remainder of the diagonal block (thin groups; zero
+    # padding vals make the pass a no-op when nothing was split)
+    c = c + _local_block_spmm(
+        mat_local["sc_rows"], mat_local["sc_cols"], mat_local["sc_vals"], h, m_loc
+    ).astype(c.dtype)
     for s in range(parts - 1):
         shift = s + 1
         perm = [(i, (i - shift) % parts) for i in range(parts)]

@@ -111,3 +111,27 @@ def test_halo_engine_gate(monkeypatch):
     assert train_mod.halo_engine(G(16_000_000, 208_000_000), 8) == "gather"
     # dense-ish graph: edge-tile fill is fine, stay on the XLA engine
     assert train_mod.halo_engine(G(100_000, 50_000_000), 4) == "xla"
+
+
+def test_halo_gather_hybrid_scatter_matches(problem, monkeypatch):
+    """Force the thin-group scatter split (papers100M-geometry behavior,
+    where the diagonal block's group count exceeds the step cap) and check
+    the hybrid gather+COO local engine still matches the XLA halo engine."""
+    parts, n, g, x, y, a, a_t, mesh, xla_pair, _ = problem
+    monkeypatch.setattr(dist_halo, "GROUP_BUDGET", 0)
+    monkeypatch.setattr(dist_halo, "SCATTER_MIN_GROUP", 10**9)  # scatter all
+    all_sc = dist_halo.DistHaloPair.from_csr_pair(a_t, a, parts, engine="gather")
+    assert int((np.asarray(all_sc.fwd.sc_vals) != 0).sum()) > 0
+    monkeypatch.setattr(dist_halo, "SCATTER_MIN_GROUP", 3)  # split for real
+    hyb = dist_halo.DistHaloPair.from_csr_pair(a_t, a, parts, engine="gather")
+
+    config = GCNConfig(sizes=(10, 8, 4))
+    params = init_params(config)
+    opt = adam.adam_init(params)
+    step_x = dist.make_dist_train_step(config, mesh, n, pair_kind="halo")
+    step_g = dist.make_dist_train_step(config, mesh, n, pair_kind="halo_gather")
+    _, _, loss_ref, acc_ref = step_x(params, opt, xla_pair, x, y)
+    for pair in (all_sc, hyb):
+        _, _, loss_h, acc_h = step_g(params, opt, pair, x, y)
+        np.testing.assert_allclose(float(loss_h), float(loss_ref), rtol=1e-5)
+        np.testing.assert_allclose(float(acc_h), float(acc_ref), rtol=1e-6)

@@ -68,10 +68,30 @@ def _load():
     except OSError:
         return None
     c = ctypes.c_int64
+    i32 = ctypes.c_int32
     lib.mggcn_expand_rows.argtypes = [c, _i64p, _i32p]
     lib.mggcn_normalize.argtypes = [c, c, _i64p, _i32p, _f32p, _f32p, ctypes.c_int, _f64p]
     lib.mggcn_transpose.argtypes = [c, c, c, _i64p, _i32p, _f32p, _i64p, _i32p, _f32p]
     lib.mggcn_comm_volume.argtypes = [c, c, _i64p, _i64p, _i32p, _u8p, c, _i64p]
+    lib.mggcn_edge_sort.argtypes = [
+        c, c, _i64p, _i32p, _f32p, ctypes.c_void_p, c, c, c,
+        _i32p, _i32p, _f32p, _i32p, _i32p,
+    ]
+    lib.mggcn_edge_sort.restype = ctypes.c_int
+    lib.mggcn_edge_fill.argtypes = [
+        c, c, c, c, _i64p, _i64p, _i64p, _i64p,
+        _i32p, _i32p, _f32p, ctypes.c_void_p, i32, i32, i32,
+        _i32p, ctypes.c_void_p,
+    ]
+    lib.mggcn_gather_sort.argtypes = [
+        c, c, _i64p, _i32p, _f32p, c, c, i32,
+        _i32p, _i32p, _f32p, _i64p, _i64p, _i64p,
+    ]
+    lib.mggcn_gather_sort.restype = c
+    lib.mggcn_gather_fill.argtypes = [
+        c, c, _i64p, _i64p, _i64p, _i64p, _i64p,
+        _i32p, _i32p, _f32p, c, i32, _i32p, ctypes.c_void_p,
+    ]
     lib.mggcn_num_threads.restype = ctypes.c_int
     _lib = lib
     return _lib
@@ -139,3 +159,102 @@ def comm_volume(csr, part: np.ndarray) -> np.ndarray:
         marks, csr.ncols, vol,
     )
     return vol.reshape(P, P)
+
+
+def _cptr(arr):
+    """void* of a float32/int32 array, or None (NULL) when arr is None."""
+    if arr is None:
+        return None
+    return arr.ctypes.data_as(ctypes.c_void_p)
+
+
+def edge_sort(csr, wq, br: int, n_sub: int, n_tr: int):
+    """Stable sort of the edge list by the edge-tile sub-tile key —
+    bit-identical to np.argsort(kind="stable") on the same keys (the
+    parallel counting sort preserves input order within each key). Returns
+    (rows_s, cols_s, data_s, wq_s-or-None, skey_s)."""
+    lib = _load()
+    indptr, indices, data = _prep(csr)
+    nnz = csr.nnz
+    rows_s = np.empty(nnz, np.int32)
+    cols_s = np.empty(nnz, np.int32)
+    data_s = np.empty(nnz, np.float32)
+    skey_s = np.empty(nnz, np.int32)
+    wq_c = np.ascontiguousarray(wq, np.int32) if wq is not None else None
+    wq_s = np.empty(nnz, np.int32) if wq is not None else None
+    rc = lib.mggcn_edge_sort(
+        csr.nrows, nnz, indptr, indices, data, _cptr(wq_c), br, n_sub, n_tr,
+        rows_s, cols_s, data_s,
+        wq_s if wq_s is not None else skey_s,  # dummy target when unused
+        skey_s,
+    )
+    if rc != 0:
+        raise ValueError("edge key out of range (shapes vs br/n_sub mismatch)")
+    return rows_s, cols_s, data_s, wq_s, skey_s
+
+
+def edge_fill(chunk_e0, chunk_e1, chunk_tr, chunk_gsub, rows_s, cols_s,
+              data_s, wq_s, K: int, BC: int, br: int, valid_bit: int,
+              wq_shift: int, wq_bias: int):
+    """Fused slot fill of the edge-tile idx (+w) arrays (one pass, no numpy
+    temporaries). Returns (idx[S*CPS, K], w-or-zero-size)."""
+    lib = _load()
+    total = int(chunk_e0.shape[0])
+    idx = np.zeros((total, K), np.int32)
+    int8_mode = wq_s is not None
+    w = np.zeros((total, K) if not int8_mode else (0,), np.float32)
+    lib.mggcn_edge_fill(
+        total, K, BC, br,
+        np.ascontiguousarray(chunk_e0, np.int64),
+        np.ascontiguousarray(chunk_e1, np.int64),
+        np.ascontiguousarray(chunk_tr, np.int64),
+        np.ascontiguousarray(chunk_gsub, np.int64),
+        rows_s, cols_s, data_s, _cptr(wq_s),
+        valid_bit, wq_shift, wq_bias,
+        idx.reshape(-1), _cptr(w if not int8_mode else None),
+    )
+    return idx, w
+
+
+def gather_sort_pair(csr, n_win: int, n_st: int, pair: bool):
+    """Stable two-pass sort of the edge list into serial-gather group order
+    (group key, then pairs-before-singles within each group) — bit-identical
+    to the numpy double argsort. Returns (rows_s, cols_s, data_s, groups,
+    gcounts, g_pair_edges)."""
+    lib = _load()
+    indptr, indices, data = _prep(csr)
+    nnz = csr.nnz
+    rows_s = np.empty(nnz, np.int32)
+    cols_s = np.empty(nnz, np.int32)
+    data_s = np.empty(nnz, np.float32)
+    max_groups = min(n_st * n_win, max(nnz, 1))
+    groups = np.empty(max_groups, np.int64)
+    gcounts = np.empty(max_groups, np.int64)
+    g_pair = np.empty(max_groups, np.int64)
+    ng = lib.mggcn_gather_sort(
+        csr.nrows, nnz, indptr, indices, data, n_win, n_st,
+        1 if pair else 0, rows_s, cols_s, data_s, groups, gcounts, g_pair,
+    )
+    if ng < 0:
+        raise ValueError("gather key out of range (shapes vs n_win mismatch)")
+    return rows_s, cols_s, data_s, groups[:ng], gcounts[:ng], g_pair[:ng]
+
+
+def gather_fill(s_e0, s_e1, s_st, s_win, s_lp, rows_s, cols_s, data_s,
+                e_blk: int, w_bits: int, binary: bool):
+    """Fused slot fill of the serial-gather idx (+w) arrays."""
+    lib = _load()
+    S = int(s_e0.shape[0])
+    idx = np.zeros((S, e_blk), np.int32)
+    w = np.zeros((S, e_blk) if not binary else (0,), np.float32)
+    lib.mggcn_gather_fill(
+        S, e_blk,
+        np.ascontiguousarray(s_e0, np.int64),
+        np.ascontiguousarray(s_e1, np.int64),
+        np.ascontiguousarray(s_st, np.int64),
+        np.ascontiguousarray(s_win, np.int64),
+        np.ascontiguousarray(s_lp, np.int64),
+        rows_s, cols_s, data_s, rows_s.shape[0], w_bits,
+        idx.reshape(-1), _cptr(w if not binary else None),
+    )
+    return idx, w

@@ -259,16 +259,31 @@ def edge_tile_schedule_host(
             -127,
             127,
         ).astype(np.int32)
-    skey = (rows // br).astype(np.int64) * n_sub + (cols // BC)
-    skey = skey.astype(np.int32)  # < n_tr * n_sub < 2^31
-    order = np.argsort(skey, kind="stable")
-    rows_s = rows[order]
-    cols_s = cols[order]
-    data_s = csr.data[order].astype(np.float32)
-    wq_s = wq[order] if int8_mode else None
+    native_lib = None
+    try:
+        from .. import native as native_lib  # C++/OpenMP fast path
+
+        if not native_lib.available():
+            native_lib = None
+    except ImportError:
+        native_lib = None
+    if native_lib is not None:
+        # single fused expand+key+stable-counting-sort pass — bit-identical
+        # to the numpy argsort(kind="stable") path (csrc/mggcn_host.cpp)
+        rows_s, cols_s, data_s, wq_s, skey_s = native_lib.edge_sort(
+            csr, wq, br, n_sub, n_tr
+        )
+    else:
+        skey = (rows // br).astype(np.int64) * n_sub + (cols // BC)
+        skey = skey.astype(np.int32)  # < n_tr * n_sub < 2^31
+        order = np.argsort(skey, kind="stable")
+        rows_s = rows[order]
+        cols_s = cols[order]
+        data_s = csr.data[order].astype(np.float32)
+        wq_s = wq[order] if int8_mode else None
+        skey_s = skey[order]
 
     # unique-on-sorted without np.unique's internal re-sort of 10^8 keys
-    skey_s = skey[order]
     if skey_s.size:
         change = np.flatnonzero(
             np.concatenate([[True], skey_s[1:] != skey_s[:-1]])
@@ -384,6 +399,29 @@ def edge_tile_schedule_host(
     else:
         chunk_e0 = chunk_e1 = chunk_tr = chunk_gsub = np.zeros(S * CPS, np.int64)
 
+    if native_lib is not None and csr.nnz:
+        idx16, w32 = native_lib.edge_fill(
+            chunk_e0, chunk_e1, chunk_tr, chunk_gsub,
+            rows_s, cols_s, data_s, wq_s if int8_mode else None,
+            K, BC, br, VALID_BIT, WQ_SHIFT, WQ_BIAS,
+        )
+        return dict(
+            idx=idx16,
+            w=w32,
+            meta=meta,
+            chi=chi.reshape(S, CPS),
+            n_out=n_out,
+            n_in=n_in,
+            n_out_pad=n_out_pad,
+            n_in_pad=n_in_pad,
+            nnz=csr.nnz,
+            br=br,
+            tcw_bits=tcw_bits,
+            dtype_name=dtype,
+            fill=float(csr.nnz) / max(S * CPS * K, 1),
+            paired=paired,
+            row_scale=row_scale,
+        )
     idx16 = np.zeros((S * CPS, K), np.int32)
     w32 = np.zeros((S * CPS, K) if not int8_mode else (0,), np.float32)
     total_chunks = S * CPS

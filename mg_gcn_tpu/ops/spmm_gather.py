@@ -168,25 +168,44 @@ def gather_schedule_host(
     if csr.nnz >= 2**31:
         raise ValueError("graph too large for the single-chip gather build")
 
-    counts = np.diff(csr.indptr).astype(np.int64)
-    rows = np.repeat(np.arange(n_out, dtype=np.int32), counts)
-    cols = csr.indices.astype(np.int32, copy=False)
     data32 = csr.data.astype(np.float32, copy=False)
     if binary is None:
         binary = bool(csr.nnz == 0 or (data32 == 1.0).all())
     elif binary and csr.nnz and not (data32 == 1.0).all():
         raise ValueError("binary=True but the matrix has non-unit values")
-    gkey = (rows >> 14).astype(np.int64) * n_win + (cols >> 14)  # R=W=2^14
-    order = np.argsort(gkey, kind="stable")  # keeps CSR row order per group
-    rows_s = rows[order]
-    cols_s = cols[order]
-    data_s = data32[order]
-    gkey_s = gkey[order]
+    native_lib = None
+    try:
+        from .. import native as native_lib  # C++/OpenMP fast path
+
+        if not native_lib.available():
+            native_lib = None
+    except ImportError:
+        native_lib = None
+    if native_lib is not None and csr.nnz:
+        # fused expand + two stable counting sorts + run pairing — bit-
+        # identical to the numpy double argsort (csrc/mggcn_host.cpp)
+        rows_s, cols_s, data_s, groups, gcounts, g_pair_edges = (
+            native_lib.gather_sort_pair(csr, n_win, n_st, pair)
+        )
+        gkey_s = np.empty(0, np.int64)  # unused on the native path
+    else:
+        native_lib = None
+        counts = np.diff(csr.indptr).astype(np.int64)
+        rows = np.repeat(np.arange(n_out, dtype=np.int32), counts)
+        cols = csr.indices.astype(np.int32, copy=False)
+        gkey = (rows >> 14).astype(np.int64) * n_win + (cols >> 14)  # R=W=2^14
+        order = np.argsort(gkey, kind="stable")  # keeps CSR row order per group
+        rows_s = rows[order]
+        cols_s = cols[order]
+        data_s = data32[order]
+        gkey_s = gkey[order]
 
     # same-row runs within each group -> pair the even prefix of each run,
     # then stable-reorder each group to [pair edges..., single edges...]
     # (pair mates stay adjacent under the stable sort)
-    if gkey_s.size:
+    if native_lib is not None:
+        pass  # groups/gcounts/g_pair_edges already built natively
+    elif gkey_s.size:
         brk = np.concatenate(
             [[True], (gkey_s[1:] != gkey_s[:-1]) | (rows_s[1:] != rows_s[:-1])]
         )
@@ -303,6 +322,25 @@ def gather_schedule_host(
     ).astype(np.int32)
     meta2 = (s_lp | (s_ls << LP_BITS)).astype(np.int32)
 
+    if native_lib is not None:
+        idx, w = native_lib.gather_fill(
+            s_e0, s_e1, s_st, s_win, s_lp, rows_s, cols_s, data_s,
+            E_BLK, W_BITS, binary,
+        )
+        return dict(
+            idx=idx,
+            w=w,
+            meta=meta,
+            meta2=meta2,
+            n_out=n_out,
+            n_in=n_in,
+            n_out_pad=n_out_pad,
+            n_in_pad=n_in_pad,
+            nnz=csr.nnz,
+            win_bits=win_bits,
+            fill=float(csr.nnz) / max(S * E_BLK, 1),
+            binary=binary,
+        )
     idx = np.zeros((S, E_BLK), np.int32)
     w = np.zeros((S, E_BLK) if not binary else (0,), np.float32)
     lane = np.arange(E_BLK, dtype=np.int64)[None, :]

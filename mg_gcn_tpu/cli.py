@@ -90,6 +90,14 @@ def build_parser() -> argparse.ArgumentParser:
         "throughput with 8-bit-quantized activations)",
     )
     p.add_argument(
+        "--f64",
+        action="store_true",
+        help="run the whole train step in float64 on the COO/XLA engine — "
+        "numerics-debugging twin of the reference's double kernel "
+        "templates (cuda_utils.cu:392-451); single chip, --model gcn, "
+        "--impl xla/auto only",
+    )
+    p.add_argument(
         "--mmap",
         action="store_true",
         help="memory-map features.bin and stream each device's row shard "
@@ -202,6 +210,16 @@ def cmd_train(opts) -> int:
     import jax
     import jax.numpy as jnp
 
+    if opts.f64:
+        if opts.P > 1 or opts.model != "gcn" or opts.impl not in ("auto", "xla"):
+            print(
+                "--f64 runs single-chip GCN on the COO/XLA engine "
+                "(--impl auto/xla, -P 1, --model gcn)",
+                file=sys.stderr,
+            )
+            return 2
+        jax.config.update("jax_enable_x64", True)
+
     from .formats import Dataset
     from .models.gcn import GCNConfig, init_params
     from .nn import adam
@@ -292,7 +310,9 @@ def cmd_train(opts) -> int:
 
         params = gat_init(config, key)
     else:
-        params = init_params(config, key)
+        params = init_params(
+            config, key, dtype=jnp.float64 if opts.f64 else None
+        )
     opt_state = adam.adam_init(params)
     if opts.load:
         from .checkpoint import load_checkpoint
@@ -349,9 +369,12 @@ def _train_single(opts, ds, config, hparams, params, opt_state, timers):
             pair = build_gat_graph(ds.graph, dtype=dtype)
         else:
             pair = build_agg_pair(
-                ds.graph, impl=opts.impl, pattern_dtype=opts.pattern_dtype
+                ds.graph,
+                impl="xla" if opts.f64 else opts.impl,
+                pattern_dtype=opts.pattern_dtype,
+                coo_val_dtype=np.float64 if opts.f64 else np.float32,
             )
-        x = jnp.asarray(ds.features, jnp.float32)
+        x = jnp.asarray(ds.features, jnp.float64 if opts.f64 else jnp.float32)
         y = jnp.asarray(ds.labels.reshape(-1).astype(np.int32))
         mask = (
             jnp.asarray(ds.sets.reshape(-1) == 0) if config.loss_mask == "train" else None

@@ -78,12 +78,17 @@ class GCNConfig:
         )
 
 
-def init_params(config: GCNConfig, key: jax.Array | None = None) -> list[dict]:
+def init_params(
+    config: GCNConfig, key: jax.Array | None = None, dtype=None
+) -> list[dict]:
     """Build the parameter pytree.
 
     With ``key=None``, uses the reference's exact init (every matrix drawn
     from a fresh seed-99 minstd engine — bit parity, see nn/init.py).
     With a PRNG key, uses per-layer independent jax.random draws.
+    ``dtype`` casts the parameters (f64 numerics mode — the reference
+    templates every kernel for float AND double, cuda_utils.cu:392-451;
+    requires jax_enable_x64).
     """
     params: list[dict] = []
     for i in range(config.num_layers):
@@ -103,6 +108,8 @@ def init_params(config: GCNConfig, key: jax.Array | None = None) -> list[dict]:
             if meta["res_proj"]:
                 layer["Wres"] = init_lib.kaiming_uniform(krw, in_, out)
                 layer["bres"] = init_lib.bias_uniform(krb, out)
+        if dtype is not None:
+            layer = {k: v.astype(dtype) for k, v in layer.items()}
         params.append(layer)
     return params
 

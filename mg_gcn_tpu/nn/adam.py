@@ -59,7 +59,9 @@ def adam_update(
     eps: float = 1e-8,
 ) -> tuple[Any, AdamState]:
     step = state.step + 1
-    t = step.astype(jnp.float32)
+    # canonicalized: f32 normally, f64 under jax_enable_x64 (f64 mode's
+    # bias corrections must not round through f32)
+    t = step.astype(jax.dtypes.canonicalize_dtype(jnp.float64))
     bc1 = 1.0 - jnp.power(beta1, t)
     bc2 = 1.0 - jnp.power(beta2, t)
 

@@ -62,7 +62,12 @@ class COOMat:
         return self.rows.shape[0]
 
     @staticmethod
-    def from_csr(csr: CSRData, pad_to: int = 512, device=None) -> "COOMat":
+    def from_csr(
+        csr: CSRData, pad_to: int = 512, device=None, val_dtype=np.float32
+    ) -> "COOMat":
+        """``val_dtype=np.float64`` is the f64 numerics mode (parity with the
+        reference's double kernel templates, cuda_utils.cu:392-451; needs
+        jax_enable_x64 or the upload silently truncates to f32)."""
         counts = np.diff(csr.indptr).astype(np.int64)
         rows = np.repeat(np.arange(csr.nrows, dtype=np.int32), counts)
         nnz = int(rows.shape[0])
@@ -70,7 +75,9 @@ class COOMat:
         pad = nnz_pad - nnz
         rows_p = np.concatenate([rows, np.full(pad, csr.nrows - 1, np.int32)])
         cols_p = np.concatenate([csr.indices.astype(np.int32), np.zeros(pad, np.int32)])
-        vals_p = np.concatenate([csr.data.astype(np.float32), np.zeros(pad, np.float32)])
+        vals_p = np.concatenate(
+            [csr.data.astype(val_dtype), np.zeros(pad, val_dtype)]
+        )
         put = lambda x: jax.device_put(x, device) if device is not None else jnp.asarray(x)
         return COOMat(
             rows=put(rows_p),

@@ -100,6 +100,7 @@ def build_agg_pair(
     tile_bc: int = 512,
     interpret: bool = False,
     pattern_dtype: str = "bfloat16",
+    coo_val_dtype=np.float32,
 ) -> AggPair:
     """Host preprocessing -> device-resident (Â, Âᵀ) aggregation pair.
 
@@ -230,7 +231,9 @@ def build_agg_pair(
 
         make = partial(TiledMat.from_csr, br=tile_br, bc=tile_bc, interpret=interpret)
     else:
-        make = COOMat.from_csr
+        # coo_val_dtype=np.float64 is the f64 numerics mode (the reference's
+        # double templates, cuda_utils.cu:392-451) — COO/XLA engine only
+        make = partial(COOMat.from_csr, val_dtype=coo_val_dtype)
     # forward multiplies by Âᵀ, backward by Â (layer ctor args gcn.hpp:954)
     return AggPair(fwd=make(a_t), bwd=make(a))
 
@@ -336,24 +339,52 @@ def train(
     timers: TimerRegistry | None = None,
     params: Any = None,
     opt_state: Any = None,
+    f64: bool = False,
 ) -> TrainResult:
     """Full-batch training on one chip.
 
     ``hidden`` is the list of hidden widths (the CLI's d1..dL); the full size
     schedule becomes [num_features, *hidden, num_labels] like main.cpp:93-98.
     ``seed=None`` uses the reference's bit-exact seed-99 init.
+    ``f64`` runs the whole step in float64 on the COO/XLA engine — the
+    numerics-debugging twin of the reference's double kernel templates
+    (cuda_utils.cu:392-451); requires jax_enable_x64 and rejects the
+    bf16/int8 Pallas kernel impls.
     """
+    if f64:
+        if impl not in ("xla", "auto"):
+            raise ValueError(
+                f"f64 mode runs on the COO/XLA engine only (impl {impl!r}; "
+                "the Pallas kernels compute in bf16/int8/f32)"
+            )
+        impl = "xla"
+        if not jax.config.jax_enable_x64:
+            raise ValueError(
+                "f64 mode needs jax_enable_x64 (set JAX_ENABLE_X64=1 or "
+                "jax.config.update('jax_enable_x64', True) before arrays "
+                "are created)"
+            )
+    fdt = jnp.float64 if f64 else jnp.float32
     sizes = (dataset.num_features, *hidden, dataset.num_labels)
     config = GCNConfig(sizes=tuple(int(s) for s in sizes), **(config_kw or {}))
-    pair = build_agg_pair(dataset.graph, impl=impl, pattern_dtype=pattern_dtype)
-    x = jnp.asarray(dataset.features, jnp.float32)
+    pair = build_agg_pair(
+        dataset.graph,
+        impl=impl,
+        pattern_dtype=pattern_dtype,
+        coo_val_dtype=np.float64 if f64 else np.float32,
+    )
+    x = jnp.asarray(dataset.features, fdt)
     y = jnp.asarray(dataset.labels.reshape(-1), jnp.int32)
     mask = None
     if config.loss_mask == "train":
         mask = jnp.asarray(dataset.sets.reshape(-1) == 0)
 
     if params is None:
-        params = init_params(config, None if seed is None else jax.random.key(seed))
+        params = init_params(
+            config,
+            None if seed is None else jax.random.key(seed),
+            dtype=fdt if f64 else None,
+        )
     if opt_state is None:
         opt_state = adam.adam_init(params)
     step = make_train_step(config, hparams)

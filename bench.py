@@ -309,6 +309,17 @@ def main() -> None:
     except Exception as exc:  # aux must never sink the headline
         print(f"block-banded aux skipped: {exc}", file=sys.stderr)
 
+    # free the 6.8 GB pattern pack (+ block pair) BEFORE the weighted
+    # section: the edge pair + SDDMM working set on top of it exhausted the
+    # 16 GB HBM, and one RESOURCE_EXHAUSTED poisons the backend for every
+    # later section on this platform. PageRank re-packs its own pattern.
+    import gc
+
+    pair = pair8 = params8 = opt8 = params = opt = None  # noqa: F841
+    sage_pair = sage_params = sage_opt = sage_step = None  # noqa: F841
+    bfwd = bbwd = v = scan_steps = None  # noqa: F841
+    gc.collect()
+
     # auxiliary: *weighted*-CSR training via the edge-tile MXU kernel
     # (ops/spmm_edges.py) — the cuSPARSE-generality capability the pattern
     # kernels lack. Same graph with random edge values (the community signal
@@ -389,33 +400,11 @@ def main() -> None:
                 weighted_vs_binary=w_epoch_s / epoch_s_dispatch,
             )
 
-            # int8 edge-tile mode: quantized weights packed inside the idx
-            # words, both MXU matmuls at the 2x int8 rate
-            t0 = time.time()
-            w8fs, w8bs = wsched("int8")
-            wpair8 = _AP2(
-                edge_tile_mat_from_host(w8fs), edge_tile_mat_from_host(w8bs)
-            )
-            print(
-                f"weighted int8 pair built in {time.time()-t0:.1f}s",
-                file=sys.stderr,
-            )
-            w8params = init_params(config)
-            w8opt = adam.adam_init(w8params)
-            w8_epoch_s, w8losses, w8accs = run_epochs(
-                step, w8params, w8opt, wpair8, "weighted-int8"
-            )
-            out_health.update(health("weighted_int8", w8losses, w8accs))
-            weighted_meta["weighted_int8_epoch_seconds"] = w8_epoch_s
-            weighted_meta["weighted_int8_edges_per_s"] = (
-                SPMM_PER_EPOCH * nnz / w8_epoch_s
-            )
-            weighted_meta["weighted_int8_vs_binary"] = w8_epoch_s / epoch_s_dispatch
-            wpair8 = w8params = w8opt = None  # noqa: F841
-
             # SDDMM at the same scale (the second kernel the BASELINE north
             # star names): per-edge scores on the already-resident edge-tile
-            # structure (ops/sddmm.py), chained to amortize dispatch
+            # structure (ops/sddmm.py), chained to amortize dispatch.
+            # Runs BEFORE the int8 pair build — two resident edge pairs plus
+            # the pattern pack OOMed the 16 GB HBM (r3 first run)
             from mg_gcn_tpu.ops.sddmm import sddmm_edge_tiles
 
             CHAIN = 5
@@ -463,19 +452,43 @@ def main() -> None:
                 f"{nnz/sddmm_s/1e9:.2f} Gedge/s",
                 file=sys.stderr,
             )
+
+            # int8 edge-tile mode: quantized weights packed inside the idx
+            # words, both MXU matmuls at the 2x int8 rate. The bf16 pair is
+            # freed first (HBM headroom).
+            wpair = sa = None  # noqa: F841
+            import gc as _gc
+
+            _gc.collect()
+            t0 = time.time()
+            w8fs, w8bs = wsched("int8")
+            wpair8 = _AP2(
+                edge_tile_mat_from_host(w8fs), edge_tile_mat_from_host(w8bs)
+            )
+            print(
+                f"weighted int8 pair built in {time.time()-t0:.1f}s",
+                file=sys.stderr,
+            )
+            w8params = init_params(config)
+            w8opt = adam.adam_init(w8params)
+            w8_epoch_s, w8losses, w8accs = run_epochs(
+                step, w8params, w8opt, wpair8, "weighted-int8"
+            )
+            out_health.update(health("weighted_int8", w8losses, w8accs))
+            weighted_meta["weighted_int8_epoch_seconds"] = w8_epoch_s
+            weighted_meta["weighted_int8_edges_per_s"] = (
+                SPMM_PER_EPOCH * nnz / w8_epoch_s
+            )
+            weighted_meta["weighted_int8_vs_binary"] = w8_epoch_s / epoch_s_dispatch
+            wpair8 = w8params = w8opt = None  # noqa: F841
         except Exception as exc:  # aux must never sink the headline
             print(f"weighted aux skipped: {exc}", file=sys.stderr)
 
-    # free the Reddit-scale device buffers before the remaining aux sections
-    # (pattern pack 6.8 GB + weighted edge pair ~1.8 GB + features 0.6 GB;
-    # v5e HBM is 16 GB and the products/pagerank/gat sections allocate their
-    # own multi-GB graphs — r2 bench OOMed here without this)
-    import gc
-
-    pair = pair8 = params8 = opt8 = params = opt = None  # noqa: F841
-    sage_pair = sage_params = sage_opt = sage_step = None  # noqa: F841
-    bfwd = bbwd = v = wpair = wparams = wopt = None  # noqa: F841
-    x = y = step = scan_steps = None  # noqa: F841
+    # free the remaining Reddit-scale device buffers before the products/
+    # pagerank/gat sections (they allocate their own multi-GB graphs)
+    wpair = wparams = wopt = None  # noqa: F841
+    wpair8 = w8params = w8opt = sa = None  # noqa: F841
+    x = y = step = None  # noqa: F841
     gc.collect()
 
     # auxiliary: BASELINE configs 2 & 5 at ogbn-products scale (n=2.45M,

@@ -39,6 +39,8 @@ ALPHA = 0.01
 
 
 def _to_t(x):
+    if isinstance(x, torch.Tensor):  # incl. sparse CSR at bench scale
+        return x if x.dtype == torch.float64 else x.to(torch.float64)
     return torch.as_tensor(np.asarray(x), dtype=torch.float64)
 
 

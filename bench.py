@@ -309,10 +309,46 @@ def main() -> None:
     except Exception as exc:  # aux must never sink the headline
         print(f"block-banded aux skipped: {exc}", file=sys.stderr)
 
+    # config 5 at Reddit scale while the pattern pack is still resident:
+    # PageRank's iteration matrix Aᵀ·diag(1/outdeg) is the SAME bit pack
+    # with the row scale swapped (values-swap, like the products gather
+    # reuse below) — r2's 29 s was dominated by a redundant re-pack
+    pagerank_meta = {}
+    if isinstance(pair.fwd, PatternMat) and not os.environ.get(
+        "MG_GCN_BENCH_SKIP_PAGERANK"
+    ):
+        try:
+            from mg_gcn_tpu.models.pagerank import power_iterate
+            from mg_gcn_tpu.ops import spmm_pattern as _sp
+
+            prmat = PatternMat(
+                pair.fwd.pack,
+                jnp.asarray(_sp.row_scale(graph, pair.fwd.n_pad)),
+                pair.fwd.n,
+                pair.fwd.n_pad,
+                nnz,
+                "PT",
+                "pre",
+                "float32",
+            )
+            t0 = time.perf_counter()
+            prv, prit = power_iterate(prmat, N, damping=0.85, eps=1e-4)
+            pr_s = time.perf_counter() - t0
+            pagerank_meta["pagerank_reddit_seconds"] = pr_s
+            pagerank_meta["pagerank_reddit_iters"] = prit
+            print(
+                f"[pagerank reddit-scale] {pr_s:.2f}s ({prit} iters, "
+                "pattern pack reused)",
+                file=sys.stderr,
+            )
+            prmat = prv = None  # noqa: F841
+        except Exception as exc:
+            print(f"pagerank aux skipped: {exc}", file=sys.stderr)
+
     # free the 6.8 GB pattern pack (+ block pair) BEFORE the weighted
     # section: the edge pair + SDDMM working set on top of it exhausted the
     # 16 GB HBM, and one RESOURCE_EXHAUSTED poisons the backend for every
-    # later section on this platform. PageRank re-packs its own pattern.
+    # later section on this platform.
     import gc
 
     pair = pair8 = params8 = opt8 = params = opt = None  # noqa: F841
@@ -666,21 +702,6 @@ def main() -> None:
     ppair = px = py = pparams = popt = pstep = pg = pr_fwd = None  # noqa: F841
     gc.collect()
 
-    # config 5: PageRank power iteration (pagerank.hpp parity) at Reddit
-    # scale on the pattern SpMV fast path (the binary headline graph).
-    if not os.environ.get("MG_GCN_BENCH_SKIP_PAGERANK"):
-        try:
-            from mg_gcn_tpu.models.pagerank import pagerank
-
-            t0 = time.perf_counter()
-            pr = pagerank(graph, damping=0.85, eps=1e-4)
-            float(pr[0])
-            pr_s = time.perf_counter() - t0
-            products_meta["pagerank_reddit_seconds"] = pr_s
-            print(f"[pagerank reddit-scale] {pr_s:.2f}s", file=sys.stderr)
-        except Exception as exc:
-            print(f"pagerank aux skipped: {exc}", file=sys.stderr)
-
     # auxiliary: GAT attention family (beyond the reference) — 2-layer
     # 2-head GAT at n=65k on the SDDMM/slot-softmax/weighted-SpMM pipeline
     # (ops/edge_attention.py), on a planted 16-community task.
@@ -753,6 +774,7 @@ def main() -> None:
         out["sage512_epoch_seconds"] = sage_epoch_s
         out["sage512_edges_per_s"] = 3 * nnz / sage_epoch_s
     out.update(block_meta)
+    out.update(pagerank_meta)
     out.update(weighted_meta)
     out.update(products_meta)
     out.update(gat_meta)

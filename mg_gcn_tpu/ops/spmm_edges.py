@@ -174,6 +174,31 @@ def _pick_br(n_out: int, n_in: int, nnz: int) -> tuple[int, bool]:
     return best
 
 
+def _pick_br_exact(rows: np.ndarray, cols: np.ndarray, n_in: int) -> tuple[int, bool]:
+    """Measured-fill variant of :func:`_pick_br`: scores every candidate by
+    the TRUE chunk count (bincount of the sub-tile key) instead of the
+    mean-density Poisson model — the model picks badly on clustered graphs
+    whose cell counts are bimodal (the planted-community bench graph filled
+    0.62 at the modeled br=896 vs 0.85 at the exact-picked br=1536)."""
+    n_in_pad = round_up(max(n_in, BCW), BCW)
+    n_sub = n_in_pad // BC
+    csub = (cols >> 7).astype(np.int64)
+    best, best_score = (BR_CANDIDATES[0], False), -1.0
+    for br in BR_CANDIDATES:
+        skey = (rows // br).astype(np.int64) * n_sub + csub
+        counts = np.bincount(skey)
+        chunks = -(-counts[counts > 0] // K)
+        nnz = rows.size
+        for paired in (False, True):
+            eff = int(chunks.sum() + (chunks % 2).sum()) if paired else int(chunks.sum())
+            fill = nnz / max(eff * K, 1)
+            cost = (0.75 + br / 512.0) + (0.125 if paired else 0.25) * br / 512.0
+            score = fill / cost
+            if score > best_score + 1e-9:
+                best, best_score = (br, paired), score
+    return best
+
+
 def expected_fill(n_out: int, n_in: int, nnz: int) -> float:
     """Mean slot fill the auto-tuned schedule would reach — the dispatch
     signal between this kernel and the serial-gather one (spmm_gather):
@@ -217,7 +242,17 @@ def edge_tile_schedule_host(
     id) — cacheable on disk and uploaded via ``edge_tile_mat_from_host``."""
     n_out, n_in = csr.shape
     if br is None or paired is None:
-        auto_br, auto_paired = _pick_br(n_out, n_in, csr.nnz)
+        if csr.nnz:
+            # exact fill per candidate (two cheap passes each) — the mean-
+            # density model misjudges clustered graphs (see _pick_br_exact)
+            _rows = np.repeat(
+                np.arange(n_out, dtype=np.int32),
+                np.diff(csr.indptr).astype(np.int64),
+            )
+            auto_br, auto_paired = _pick_br_exact(_rows, csr.indices, n_in)
+            del _rows
+        else:
+            auto_br, auto_paired = _pick_br(n_out, n_in, csr.nnz)
         br = auto_br if br is None else br
         paired = auto_paired if paired is None else paired
     if br % 8 or br <= 0:

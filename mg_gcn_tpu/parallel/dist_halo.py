@@ -330,11 +330,30 @@ class DistHaloGatherMat:
             for s in range(S)
         )
 
-        def scheds_of(blocks):
-            """Uniform-step gather schedules for one round across devices."""
-            out = [sg.gather_schedule_host(b, binary=False) for b in blocks]
-            S_max = max(o["meta"].shape[0] for o in out)
-            return [sg.pad_schedule_steps(o, S_max) for o in out]
+        def stacked_scheds(make_block):
+            """Uniform-step gather schedules for one round across devices,
+            built ONE block at a time into preallocated stacks — at
+            papers100M scale holding all P blocks' CSRs + schedules at once
+            was the OOM (113 GB RSS at n=1.11e8, P=16)."""
+            scheds = []
+            for j in range(parts):
+                b = make_block(j)
+                scheds.append(sg.gather_schedule_host(b, binary=False))
+                del b
+            S_max = max(o["meta"].shape[0] for o in scheds)
+            idx = np.zeros((parts, S_max, sg.E_BLK), np.int32)
+            w = np.zeros((parts, S_max, sg.E_BLK), np.float32)
+            meta = np.zeros((parts, S_max), np.int32)
+            meta2 = np.zeros((parts, S_max), np.int32)
+            for j in range(parts):
+                o = sg.pad_schedule_steps(scheds[j], S_max)
+                scheds[j] = None
+                idx[j] = o["idx"]
+                w[j] = o["w"]
+                meta[j] = o["meta"]
+                meta2[j] = o["meta2"]
+                del o
+            return jnp.asarray(idx), jnp.asarray(w), jnp.asarray(meta), jnp.asarray(meta2)
 
         # hybrid split of the diagonal block (see class docstring)
         scatters = []
@@ -353,17 +372,27 @@ class DistHaloGatherMat:
             sc_rows[j, : r.size] = r
             sc_cols[j, : c.size] = c
             sc_vals[j, : v.size] = v
-        loc_sched = scheds_of(loc_csrs)
+        del scatters
+
+        def take_loc(j):
+            b = loc_csrs[j]
+            loc_csrs[j] = None
+            return b
+
+        loc_idx, loc_w, loc_meta, loc_meta2 = stacked_scheds(take_loc)
         rem_idx, rem_w, rem_meta, rem_meta2, send_idx = [], [], [], [], []
         for s in range(S):
-            blocks = [
-                _coo_to_csr(*compact[j][s], m_loc, widths[s]) for j in range(parts)
-            ]
-            sch = scheds_of(blocks)
-            rem_idx.append(jnp.stack([o["idx"] for o in sch]))
-            rem_w.append(jnp.stack([o["w"] for o in sch]))
-            rem_meta.append(jnp.stack([o["meta"] for o in sch]))
-            rem_meta2.append(jnp.stack([o["meta2"] for o in sch]))
+
+            def take_rem(j, s=s):
+                b = _coo_to_csr(*compact[j][s], m_loc, widths[s])
+                compact[j][s] = None
+                return b
+
+            ri, rw, rm, rm2 = stacked_scheds(take_rem)
+            rem_idx.append(ri)
+            rem_w.append(rw)
+            rem_meta.append(rm)
+            rem_meta2.append(rm2)
             si = np.zeros((parts, widths[s]), np.int32)
             for j in range(parts):
                 hc = halos[j][s]
@@ -373,10 +402,10 @@ class DistHaloGatherMat:
             sc_rows=jnp.asarray(sc_rows),
             sc_cols=jnp.asarray(sc_cols),
             sc_vals=jnp.asarray(sc_vals),
-            loc_idx=jnp.stack([o["idx"] for o in loc_sched]),
-            loc_w=jnp.stack([o["w"] for o in loc_sched]),
-            loc_meta=jnp.stack([o["meta"] for o in loc_sched]),
-            loc_meta2=jnp.stack([o["meta2"] for o in loc_sched]),
+            loc_idx=loc_idx,
+            loc_w=loc_w,
+            loc_meta=loc_meta,
+            loc_meta2=loc_meta2,
             rem_idx=tuple(rem_idx),
             rem_w=tuple(rem_w),
             rem_meta=tuple(rem_meta),

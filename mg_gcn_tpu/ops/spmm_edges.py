@@ -73,6 +73,12 @@ BCW = 4096  # operand columns per outer tile (B block height)
 D_MAX_E = 256  # feature columns per kernel call (VMEM bound)
 MAX_STEPS = 220_000  # SMEM budget: one packed i32 per step, ~1 MB total
 BR_CANDIDATES = (512, 640, 768, 896, 1024, 1280, 1536, 2048)
+# Bump on ANY change to the schedule builder or the auto-(br, paired)
+# picker: disk caches of built schedules key on this. Round 3's bench
+# regression (BENCH_r03 weighted 2.13 s vs r02 1.74 s) was a stale cached
+# schedule built by the pre-`_pick_br_exact` picker — the cache name held
+# only layout constants, so the picker fix never reached the bench.
+SCHED_VERSION = 4
 
 
 def interpret_default() -> bool:

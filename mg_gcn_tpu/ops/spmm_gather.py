@@ -53,6 +53,7 @@ PERF.md ("windowed serial-gather SpMM").
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -73,6 +74,10 @@ LIVE_BITS = 12  # total live slot count per step (<= E_BLK) packed into meta
 D_MAX_G = 256  # feature columns per kernel call (VMEM: acc 16 MB + bwin 2x16 MB)
 MAX_STEPS_G = 150_000  # scalar-prefetch budget: two i32 per step (~1.2 MB SMEM)
 LP_BITS = 11  # meta2: live pair count (<= E_BLK/2)
+# Bump on ANY schedule-builder change: disk caches of built gather
+# schedules key on this (see spmm_edges.SCHED_VERSION for the round-3
+# stale-cache incident this guards against).
+SCHED_VERSION = 2
 
 
 @functools.partial(
@@ -87,6 +92,7 @@ LP_BITS = 11  # meta2: live pair count (<= E_BLK/2)
         "win_bits",
         "fill",
         "scale_side",
+        "pairfrac",
     ],
 )
 @dataclass(frozen=True)
@@ -121,6 +127,7 @@ class GatherMat:
     win_bits: int
     fill: float = 1.0  # nnz / slot count (diagnostic)
     scale_side: str = "none"  # "none" | "pre" | "post"
+    pairfrac: float = 0.0  # fraction of edges walked in pair entries (diag)
 
     @property
     def num_steps(self) -> int:
@@ -321,6 +328,9 @@ def gather_schedule_host(
         | live
     ).astype(np.int32)
     meta2 = (s_lp | (s_ls << LP_BITS)).astype(np.int32)
+    # fraction of edges walked via pair entries (one output RMW per two
+    # gathers) — the bench records it so "coalescing engaged" is checkable
+    pairfrac = float(2 * int(s_lp.sum()) / max(csr.nnz, 1))
 
     if native_lib is not None:
         idx, w = native_lib.gather_fill(
@@ -340,6 +350,7 @@ def gather_schedule_host(
             win_bits=win_bits,
             fill=float(csr.nnz) / max(S * E_BLK, 1),
             binary=binary,
+            pairfrac=pairfrac,
         )
     idx = np.zeros((S, E_BLK), np.int32)
     w = np.zeros((S, E_BLK) if not binary else (0,), np.float32)
@@ -377,6 +388,7 @@ def gather_schedule_host(
         win_bits=win_bits,
         fill=float(csr.nnz) / max(S * E_BLK, 1),
         binary=binary,
+        pairfrac=pairfrac,
     )
 
 
@@ -435,15 +447,25 @@ def gather_mat_from_host(
         win_bits=int(sched["win_bits"]),
         fill=float(sched["fill"]),
         scale_side=scale_side if scale is not None else "none",
+        pairfrac=float(sched.get("pairfrac", 0.0)),
     )
 
 
 UNROLL = 16  # singles: measured u16 halves the per-edge loop overhead vs u1
 UNROLL_P = 8  # pairs per unrolled iteration (16 edges)
 CMASK = W_ROWS - 1
+# Two-bank accumulation (second (R, d) VMEM scratch block, drained on each
+# super-tile's last step): breaks the serial RMW dependency chain on the
+# output block — consecutive entries alternate target refs. Disable via
+# env for A/B probes.
+BANKED = os.environ.get("MG_GCN_GATHER_BANKED", "1") != "0"
 
 
-def _gather_kernel(meta_ref, meta2_ref, idx_ref, *rest, has_w):
+def _gather_kernel(meta_ref, meta2_ref, idx_ref, *rest, has_w, banked, n_steps):
+    if banked:
+        *rest, bank_ref = rest
+    else:
+        bank_ref = None
     if has_w:
         w_ref, b_ref, out_ref = rest
     else:
@@ -455,13 +477,15 @@ def _gather_kernel(meta_ref, meta2_ref, idx_ref, *rest, has_w):
     @pl.when(((m >> LIVE_BITS) & 1) == 1)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
+        if banked:
+            bank_ref[:] = jnp.zeros_like(bank_ref)
 
     row8 = s % 8  # the SMEM edge blocks ship 8 steps per fetch
     m2 = meta2_ref[s]
     lp = m2 & ((1 << LP_BITS) - 1)
     ls = (m2 >> LP_BITS) & ((1 << LIVE_BITS) - 1)
 
-    def pair(k):
+    def pair(k, acc_ref):
         v0 = idx_ref[row8, 2 * k]
         v1 = idx_ref[row8, 2 * k + 1]
         c1 = v0 & CMASK
@@ -473,53 +497,81 @@ def _gather_kernel(meta_ref, meta2_ref, idx_ref, *rest, has_w):
             upd = w_ref[row8, 2 * k] * g1 + w_ref[row8, 2 * k + 1] * g2
         else:
             upd = g1 + g2
-        acc = out_ref[pl.ds(r, 1), :]
-        out_ref[pl.ds(r, 1), :] = acc + upd
+        acc = acc_ref[pl.ds(r, 1), :]
+        acc_ref[pl.ds(r, 1), :] = acc + upd
 
-    def single(i):
+    def single(i, acc_ref):
         v = idx_ref[row8, i]
         r = v >> W_BITS
         c = v & CMASK
         row = b_ref[pl.ds(c, 1), :]
         upd = w_ref[row8, i] * row if has_w else row
-        acc = out_ref[pl.ds(r, 1), :]
-        out_ref[pl.ds(r, 1), :] = acc + upd
+        acc = acc_ref[pl.ds(r, 1), :]
+        acc_ref[pl.ds(r, 1), :] = acc + upd
+
+    def bank_of(k):
+        # two-bank accumulation: alternate the target block per entry so
+        # consecutive read-modify-writes hit different refs — Mosaic cannot
+        # disambiguate successive dynamic-row RMWs on one ref and orders
+        # them; splitting the chain in two lets them overlap (VERDICT r3
+        # #3: the RMW dependency chain was the gap to the 4.1 cyc/edge
+        # SMEM floor)
+        if not banked:
+            return out_ref
+        return bank_ref if k % 2 else out_ref
 
     # pairs: unrolled main loop + exact-trip remainder (trip counts are
     # exact, so padding slots are never dereferenced — required by the
     # binary mode, which has no zero weight to neutralize them)
     def pbody(i, _):
         for k in range(UNROLL_P):
-            pair(i * UNROLL_P + k)
+            pair(i * UNROLL_P + k, bank_of(k))
         return 0
 
     jax.lax.fori_loop(0, lp // UNROLL_P, pbody, 0)
     jax.lax.fori_loop(
-        (lp // UNROLL_P) * UNROLL_P, lp, lambda k, _: (pair(k), 0)[1], 0
+        (lp // UNROLL_P) * UNROLL_P, lp, lambda k, _: (pair(k, out_ref), 0)[1], 0
     )
 
     base = 2 * lp  # singles start right after the pair region
 
     def sbody(i, _):
         for k in range(UNROLL):
-            single(base + i * UNROLL + k)
+            single(base + i * UNROLL + k, bank_of(k))
         return 0
 
     jax.lax.fori_loop(0, ls // UNROLL, sbody, 0)
     jax.lax.fori_loop(
         base + (ls // UNROLL) * UNROLL,
         base + ls,
-        lambda i, _: (single(i), 0)[1],
+        lambda i, _: (single(i, out_ref), 0)[1],
         0,
     )
 
+    if banked:
+        # drain the second bank into the output on this super-tile's last
+        # step (the meta array is fully prefetched, so peeking at s+1 is a
+        # scalar read; the next step's `first` flag marks this one as last)
+        nxt = meta_ref[jnp.minimum(s + 1, n_steps - 1)]
+        is_last = jnp.logical_or(
+            s == n_steps - 1, (nxt >> LIVE_BITS) & 1 == 1
+        )
 
-def _gather_call(mat: GatherMat, b_pad: jax.Array) -> jax.Array:
+        @pl.when(is_last)
+        def _():
+            out_ref[:] = out_ref[:] + bank_ref[:]
+
+
+def _gather_call(
+    mat: GatherMat, b_pad: jax.Array, banked: bool | None = None
+) -> jax.Array:
     """out(n_out_pad, d_pad) f32 = M @ b_pad for f32 b_pad (n_in_pad, d_pad)."""
+    if banked is None:
+        banked = BANKED
     if b_pad.shape[1] > D_MAX_G:
         return jnp.concatenate(
             [
-                _gather_call(mat, b_pad[:, i : i + D_MAX_G])
+                _gather_call(mat, b_pad[:, i : i + D_MAX_G], banked)
                 for i in range(0, b_pad.shape[1], D_MAX_G)
             ],
             axis=1,
@@ -556,12 +608,17 @@ def _gather_call(mat: GatherMat, b_pad: jax.Array) -> jax.Array:
             lambda s, meta, m2: (meta[s] >> (win_bits + 1 + LIVE_BITS), 0),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=(
+            [pltpu.VMEM((R_ROWS, d_pad), jnp.float32)] if banked else []
+        ),
     )
     operands = (mat.meta, mat.meta2, mat.idx) + (
         (mat.w, b_pad) if has_w else (b_pad,)
     )
     return pl.pallas_call(
-        functools.partial(_gather_kernel, has_w=has_w),
+        functools.partial(
+            _gather_kernel, has_w=has_w, banked=banked, n_steps=S
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((mat.n_out_pad, d_pad), jnp.float32),
         # the big (W, d)/(R, d) f32 blocks blow the default 16 MB scoped-

@@ -54,12 +54,13 @@ def _sddmm_kernel(meta_ref, chi_ref, idx_ref, a_ref, b_ref, g_ref, out_ref, *, b
     s = pl.program_id(0)
     prec = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else None
     int8 = cdtype == jnp.int8
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (br, K), 0)
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (BC, K), 0)
+    acc_t = jnp.int32 if int8 else jnp.float32
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (BC, K), 0)  # BC == 128
     a_blk = a_ref[:]
     if a_blk.dtype != cdtype:
         a_blk = a_blk.astype(cdtype)
     g_row = g_ref[0:1, :]  # (1, d) f32 per-feature dequant (ones off int8)
+    nq = br // BC  # row sub-blocks (br is a multiple of 8; >=128 in practice)
 
     for c in range(CPS):
         vraw = idx_ref[c : c + 1, :]  # (1, K) i32
@@ -67,26 +68,48 @@ def _sddmm_kernel(meta_ref, chi_ref, idx_ref, a_ref, b_ref, g_ref, out_ref, *, b
         rl = (v >> 7) & RL_MASK  # int8-packed idx words carry wq above bit 17
         cl = v & (BC - 1)
         valid = (vraw >> 30) & 1
-        # zero the one-hot column of padding slots -> their score is exact 0
-        hr = ((iota_r == rl) & (valid != 0)).astype(cdtype)  # (br, K)
-        hg = (iota_c == cl).astype(cdtype)  # (BC, K)
-        ar = jax.lax.dot_general(
-            hr,
-            a_blk,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32 if int8 else jnp.float32,
-            precision=prec,
-        )  # (K, d): A_blk[rl_e, :] selected per slot (exact in any dtype)
         bsub = b_ref[pl.ds(chi_ref[s % 8, c] * BC, BC), :]
         if bsub.dtype != cdtype:
             bsub = bsub.astype(cdtype)
+        hg = (iota_l == cl).astype(cdtype)  # (BC, K)
         bc = jax.lax.dot_general(
             hg,
             bsub,
             (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32 if int8 else jnp.float32,
+            preferred_element_type=acc_t,
             precision=prec,
         )  # (K, d): B_sub[cl_e, :]
+        if nq >= 1 and br % BC == 0:
+            # two-level row select (VERDICT r3 #2): ONE shared (128, K)
+            # one-hot keyed on the lane-local row (padding slots pushed to
+            # the out-of-range key 2·BC so their column is all-zero), then
+            # one cheap (1, K) lane mask per 128-row sub-block — the VPU
+            # work no longer scales with br (the old (br, K) compare was
+            # what made br=896 VPU-bound, PERF.md round-3 notes)
+            m_adj = jnp.where(valid != 0, rl & (BC - 1), 2 * BC)  # (1, K)
+            qv = rl >> 7  # sub-block of each slot
+            sel = (iota_l == m_adj).astype(cdtype)  # (128, K) shared one-hot
+            ar = None
+            for qq in range(nq):
+                mq = (qv == qq).astype(cdtype)  # (1, K) lane mask
+                part = jax.lax.dot_general(
+                    sel * mq,
+                    a_blk[qq * BC : (qq + 1) * BC, :],
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=acc_t,
+                    precision=prec,
+                )  # (K, d)
+                ar = part if ar is None else ar + part
+        else:  # pragma: no cover - br < 128 only in synthetic tiny configs
+            iota_r = jax.lax.broadcasted_iota(jnp.int32, (br, K), 0)
+            hr = ((iota_r == rl) & (valid != 0)).astype(cdtype)
+            ar = jax.lax.dot_general(
+                hr,
+                a_blk,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=acc_t,
+                precision=prec,
+            )
         # products <= 127²·d < 2³¹ in int8 mode: the i32 product is exact
         prod = (ar * bc).astype(jnp.float32) * g_row  # (K, d)
         out_ref[:, c : c + 1] = jnp.sum(prod, axis=1, keepdims=True)

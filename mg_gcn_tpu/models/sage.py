@@ -36,10 +36,22 @@ class SAGEConfig:
     sizes: tuple[int, ...]
     leaky_slope: float = 0.01
     loss_mask: str = "all"
+    # Per-node l2 normalization of every hidden layer's output — the
+    # GraphSAGE paper's Algorithm 1 line 7 (h = h/||h||_2). Without it the
+    # raw self-path (h·W_self on unstandardized features) saturates the
+    # softmax at hidden 512: the r3 bench recorded loss_first 50.1 and a
+    # barely-learning 0.06 accuracy (VERDICT r3 weak #5). Row-local, so the
+    # distributed twin needs no extra collective.
+    l2_normalize: bool = True
 
     @property
     def num_layers(self) -> int:
         return len(self.sizes) - 1
+
+
+def l2_norm_rows(h: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """Per-node l2 normalization (GraphSAGE Alg. 1 line 7)."""
+    return h * jax.lax.rsqrt(jnp.sum(h * h, axis=-1, keepdims=True) + eps)
 
 
 def build_sage_pair(
@@ -142,6 +154,8 @@ def forward(params: Sequence[dict], pair: AggPair, x: jax.Array, config: SAGECon
         h = h @ layer["Wself"] + neigh @ layer["Wneigh"] + layer["b"]
         if i + 1 < config.num_layers:
             h = ew.leaky_relu(h, config.leaky_slope)
+            if config.l2_normalize:
+                h = l2_norm_rows(h)
     return h
 
 

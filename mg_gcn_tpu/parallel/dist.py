@@ -1157,6 +1157,11 @@ def make_dist_sage_train_step(
                 h = h @ layer["Wself"] + neigh @ layer["Wneigh"] + layer["b"]
                 if i + 1 < config.num_layers:
                     h = ew.leaky_relu(h, config.leaky_slope)
+                    if getattr(config, "l2_normalize", False):
+                        # row-local (rows are sharded whole) — no collective
+                        from ..models.sage import l2_norm_rows
+
+                        h = l2_norm_rows(h)
             return _local_xent_terms(h, yv, m, denom)
 
         (loss_loc, acc_loc), grads = jax.value_and_grad(local_loss, has_aux=True)(

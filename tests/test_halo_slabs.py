@@ -1,0 +1,111 @@
+"""Per-process halo slab builds (VERDICT r3 missing #4).
+
+``DistHaloMat.from_slabs`` + ``formats.read_pigo_csr_slab`` let each process
+build only its row slab's halo schedule. Single-process it must be
+bit-identical to the classic ``from_csr`` build; the slab reader must
+round-trip any row window of a PIGO file. The true 2-process path is
+exercised by tests/test_multiprocess.py.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from mg_gcn_tpu import sparse
+from mg_gcn_tpu.formats import read_pigo_csr, read_pigo_csr_slab, write_pigo_csr
+from mg_gcn_tpu.parallel import dist_halo
+
+
+def _graph(n=256, deg=6, seed=9):
+    g = sparse.random_graph(n, deg, seed=seed, weights="random")
+    return sparse.normalize(g, axis=True)
+
+
+def test_read_pigo_csr_slab_roundtrip(tmp_path):
+    g = _graph()
+    path = os.path.join(tmp_path, "graph.bin")
+    write_pigo_csr(path, g)
+    full = read_pigo_csr(path)
+    for r0, r1 in [(0, 64), (64, 192), (192, 256), (0, 256), (100, 100)]:
+        slab = read_pigo_csr_slab(path, r0, r1)
+        assert slab.shape == (r1 - r0, g.ncols)
+        e0, e1 = int(full.indptr[r0]), int(full.indptr[r1])
+        np.testing.assert_array_equal(slab.indptr, full.indptr[r0 : r1 + 1] - e0)
+        np.testing.assert_array_equal(slab.indices, full.indices[e0:e1])
+        np.testing.assert_allclose(slab.data, full.data[e0:e1])
+
+
+def test_read_pigo_csr_slab_bounds(tmp_path):
+    g = _graph(n=64)
+    path = os.path.join(tmp_path, "graph.bin")
+    write_pigo_csr(path, g)
+    with pytest.raises(ValueError, match="out of range"):
+        read_pigo_csr_slab(path, 0, 65)
+
+
+@pytest.mark.parametrize("parts", [2, 4])
+def test_from_slabs_matches_from_csr(parts):
+    g = _graph()
+    m_loc = g.nrows // parts
+
+    calls = []
+
+    def slab_of(j):
+        calls.append(j)
+        r0, r1 = j * m_loc, (j + 1) * m_loc
+        e0, e1 = int(g.indptr[r0]), int(g.indptr[r1])
+        from mg_gcn_tpu.formats import CSRData
+
+        return CSRData(
+            indptr=g.indptr[r0 : r1 + 1] - e0,
+            indices=g.indices[e0:e1],
+            data=g.data[e0:e1],
+            shape=(m_loc, g.ncols),
+        )
+
+    a = dist_halo.DistHaloMat.from_csr(g, parts)
+    b = dist_halo.DistHaloMat.from_slabs(slab_of, g.nrows, parts)
+    assert sorted(calls) == list(range(parts))
+    assert a.n == b.n and a.parts == b.parts and a.nnz == b.nnz
+    assert a.round_widths == b.round_widths
+    assert a.halo_total == b.halo_total
+    np.testing.assert_array_equal(np.asarray(a.loc_rows), np.asarray(b.loc_rows))
+    np.testing.assert_array_equal(np.asarray(a.loc_cols), np.asarray(b.loc_cols))
+    np.testing.assert_allclose(np.asarray(a.loc_vals), np.asarray(b.loc_vals))
+    for s in range(parts - 1):
+        np.testing.assert_array_equal(
+            np.asarray(a.rem_rows[s]), np.asarray(b.rem_rows[s])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.rem_cols[s]), np.asarray(b.rem_cols[s])
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.rem_vals[s]), np.asarray(b.rem_vals[s])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.send_idx[s]), np.asarray(b.send_idx[s])
+        )
+
+
+def test_from_slabs_from_file(tmp_path):
+    """End-to-end: slab-of-file build == whole-graph build."""
+    g = _graph(n=128, deg=5)
+    path = os.path.join(tmp_path, "graph.bin")
+    write_pigo_csr(path, g)
+    parts = 4
+    m_loc = g.nrows // parts
+    b = dist_halo.DistHaloMat.from_slabs(
+        lambda j: read_pigo_csr_slab(path, j * m_loc, (j + 1) * m_loc),
+        g.nrows,
+        parts,
+    )
+    a = dist_halo.DistHaloMat.from_csr(g, parts)
+    np.testing.assert_array_equal(np.asarray(a.loc_rows), np.asarray(b.loc_rows))
+    for s in range(parts - 1):
+        np.testing.assert_array_equal(
+            np.asarray(a.send_idx[s]), np.asarray(b.send_idx[s])
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.rem_vals[s]), np.asarray(b.rem_vals[s])
+        )

@@ -43,6 +43,7 @@ def toy(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_cli_train_single(toy, tmp_path):
     r = run_cli(["-E", "3", "train", toy, "1", "8"], cwd=tmp_path)
     assert r.returncode == 0, r.stderr
@@ -56,6 +57,7 @@ def test_cli_train_single(toy, tmp_path):
     assert csvs, "no timer csv written"
 
 
+@pytest.mark.slow
 def test_cli_train_dist(toy, tmp_path):
     r = run_cli(["-P", "4", "-R", "1", "-E", "2", "train", toy, "1", "8"], cwd=tmp_path)
     assert r.returncode == 0, r.stderr
@@ -63,6 +65,7 @@ def test_cli_train_dist(toy, tmp_path):
     assert len(lines) >= 2
 
 
+@pytest.mark.slow
 def test_cli_train_dist_sage(toy, tmp_path):
     r = run_cli(
         ["-P", "4", "-R", "1", "-E", "2", "--model", "sage", "train", toy, "1", "8"],
@@ -73,6 +76,7 @@ def test_cli_train_dist_sage(toy, tmp_path):
     assert len(lines) >= 2
 
 
+@pytest.mark.slow
 def test_cli_train_col_partition(toy, tmp_path):
     # -R 0: the column/tensor-parallel path (reference main.cpp:171-189,
     # commented out there; operational here via parallel/dist_col.py)
@@ -82,6 +86,7 @@ def test_cli_train_col_partition(toy, tmp_path):
     assert len(lines) >= 2
 
 
+@pytest.mark.slow
 def test_cli_residual(toy, tmp_path):
     r = run_cli(
         ["-E", "2", "--residual", "--exact", "train", toy, "2", "8", "12"],
@@ -92,6 +97,7 @@ def test_cli_residual(toy, tmp_path):
     assert len(lines) >= 2
 
 
+@pytest.mark.slow
 def test_cli_residual_dist(toy, tmp_path):
     r = run_cli(
         ["-P", "4", "-R", "1", "-E", "2", "--residual", "train", toy, "1", "8"],
@@ -100,6 +106,7 @@ def test_cli_residual_dist(toy, tmp_path):
     assert r.returncode == 0, r.stderr
 
 
+@pytest.mark.slow
 def test_cli_sgd_optimizer(toy, tmp_path):
     r = run_cli(
         ["-E", "3", "--optimizer", "sgd", "train", toy, "1", "8"], cwd=tmp_path
@@ -110,6 +117,7 @@ def test_cli_sgd_optimizer(toy, tmp_path):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_cli_sgd_dist(toy, tmp_path):
     r = run_cli(
         ["-P", "4", "-R", "1", "-E", "2", "--optimizer", "sgd", "train", toy, "1", "8"],
@@ -118,6 +126,7 @@ def test_cli_sgd_dist(toy, tmp_path):
     assert r.returncode == 0, r.stderr
 
 
+@pytest.mark.slow
 def test_cli_infer_dist(toy, tmp_path):
     # the last width rounds up to a multiple of P (main.cpp:135), so the
     # checkpoint must come from a run with the same P
@@ -135,6 +144,7 @@ def test_cli_infer_dist(toy, tmp_path):
     assert "inference:" in r.stderr
 
 
+@pytest.mark.slow
 def test_cli_train_gat(toy, tmp_path):
     r = run_cli(
         ["-E", "2", "--model", "gat", "--heads", "2", "train", toy, "1", "8"],
@@ -146,6 +156,7 @@ def test_cli_train_gat(toy, tmp_path):
     assert len(lines[-1].split()) == 4
 
 
+@pytest.mark.slow
 def test_cli_train_dist_gat(toy, tmp_path):
     r = run_cli(
         ["-P", "4", "-R", "1", "-E", "2", "--model", "gat", "--heads", "2",
@@ -185,6 +196,7 @@ def test_cli_col_partition_rejects_sage(toy, tmp_path):
     assert "-R 1" in r.stderr
 
 
+@pytest.mark.slow
 def test_cli_checkpoint_roundtrip(toy, tmp_path):
     ck = tmp_path / "model.ckpt.npz"
     r = run_cli(
@@ -198,6 +210,7 @@ def test_cli_checkpoint_roundtrip(toy, tmp_path):
     assert r2.returncode == 0, r2.stderr
 
 
+@pytest.mark.slow
 def test_cli_infer(toy, tmp_path):
     ck = tmp_path / "m.ckpt.npz"
     r = run_cli(["-E", "3", "--save", str(ck), "train", toy, "1", "8"], cwd=tmp_path)
@@ -256,6 +269,7 @@ def test_graft_entry_single():
         sys.path.remove(REPO)
 
 
+@pytest.mark.slow
 def test_graft_entry_multichip():
     sys.path.insert(0, REPO)
     try:
@@ -266,6 +280,7 @@ def test_graft_entry_multichip():
         sys.path.remove(REPO)
 
 
+@pytest.mark.slow
 def test_cli_infer_sage_and_gat(toy, tmp_path):
     for model, extra in [("sage", []), ("gat", ["--heads", "2"])]:
         ck = tmp_path / f"{model}.npz"

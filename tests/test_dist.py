@@ -48,6 +48,7 @@ def test_dist_mat_blocks_roundtrip():
     np.testing.assert_allclose(dense, a.to_dense(), rtol=1e-6)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("strategy", ["ring", "all_gather"])
 def test_dist_aggregate_matches_local(mesh4, strategy):
     try:

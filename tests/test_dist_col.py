@@ -18,6 +18,7 @@ def mesh4():
     return dist_col.make_col_mesh(4)
 
 
+@pytest.mark.slow
 def test_col_train_step_matches_single(mesh4):
     n, f, h, c = 48, 16, 8, 4
     rng = np.random.default_rng(11)

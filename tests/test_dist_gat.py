@@ -17,6 +17,9 @@ from mg_gcn_tpu.nn import adam
 from mg_gcn_tpu.parallel import dist_gat
 from mg_gcn_tpu.parallel.dist import make_mesh
 
+# compile-heavy interpret-mode tests: nightly-style full suite only
+pytestmark = pytest.mark.slow
+
 
 def toy_graph(n=256, density=0.04, seed=0):
     g = sp.random(n, n, density=density, format="csr", random_state=seed)

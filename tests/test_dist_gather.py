@@ -14,6 +14,9 @@ from mg_gcn_tpu.models.gcn import GCNConfig, init_params
 from mg_gcn_tpu.nn import adam
 from mg_gcn_tpu.parallel import dist
 
+# compile-heavy interpret-mode tests: nightly-style full suite only
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def problem():

@@ -26,6 +26,7 @@ def make_graph(n=64, deg=6, seed=3):
     return a, a_t
 
 
+@pytest.mark.slow
 def test_halo_aggregate_matches_dense(mesh4):
     try:
         from jax import shard_map

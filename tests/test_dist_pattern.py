@@ -59,6 +59,7 @@ def _run_agg(mesh, pair, h_global, orientation, strategy, dtype="float32"):
     return np.asarray(f(pair.pack_fwd, pair.pack_bwd, pair.scale, h_global))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("strategy", ["ring", "all_gather"])
 def test_dist_pattern_forward(mesh2, strategy):
     g, pair, a_hat = setup_pair()
@@ -71,6 +72,7 @@ def test_dist_pattern_forward(mesh2, strategy):
     assert np.abs(got[n:]).max() == 0  # padded rows have no in-edges
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("strategy", ["ring"])
 def test_dist_pattern_backward(mesh2, strategy):
     g, pair, a_hat = setup_pair()
@@ -82,6 +84,7 @@ def test_dist_pattern_backward(mesh2, strategy):
     np.testing.assert_allclose(got[:n], want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("orientation", ["PT", "P"])
 def test_dist_pattern_int8_matches_single_chip(mesh2, orientation):
     """Distributed int8 mode must perform the SAME per-feature global
@@ -101,6 +104,7 @@ def test_dist_pattern_int8_matches_single_chip(mesh2, orientation):
     np.testing.assert_allclose(got[:n], np.asarray(single), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dist_pattern_train_step(mesh2):
     """Full pattern-pair train step matches the COO dist step."""
     from mg_gcn_tpu.models.gcn import GCNConfig, init_params

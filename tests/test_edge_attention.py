@@ -19,6 +19,9 @@ from mg_gcn_tpu.formats import CSRData
 from mg_gcn_tpu.ops import spmm_edges as se
 from mg_gcn_tpu.ops import edge_attention as ea
 
+# compile-heavy interpret-mode tests: nightly-style full suite only
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(autouse=True)
 def _interpret(monkeypatch):

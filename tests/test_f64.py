@@ -4,6 +4,8 @@ float64 numpy oracle to 1e-12 relative. Runs in a subprocess because
 jax_enable_x64 is process-global."""
 
 import os
+
+import pytest
 import subprocess
 import sys
 
@@ -17,6 +19,7 @@ from mg_gcn_tpu import sparse
 from mg_gcn_tpu.models.gcn import GCNConfig, init_params, loss_and_grad
 from mg_gcn_tpu.ops.spmm import AggPair, COOMat
 from mg_gcn_tpu.train import build_agg_pair
+import pytest
 
 n, f, h, c = 96, 12, 24, 4  # layer0 out>in (agg-first), layer1 lin-first
 g = sparse.random_graph(n, 5, seed=7, weights="random")
@@ -100,6 +103,7 @@ print("F64_OK", rel)
 """
 
 
+@pytest.mark.slow
 def test_f64_matches_numpy_oracle():
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

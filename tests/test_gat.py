@@ -12,6 +12,9 @@ from mg_gcn_tpu.models import gat
 from mg_gcn_tpu.nn import adam
 from mg_gcn_tpu.ops import spmm_edges as se
 
+# compile-heavy interpret-mode tests: nightly-style full suite only
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(autouse=True)
 def _interpret(monkeypatch):

@@ -12,6 +12,11 @@ import os
 import subprocess
 import sys
 
+import pytest
+
+# compile-heavy P=16 subprocess test: nightly-style full suite only
+pytestmark = pytest.mark.slow
+
 CODE = """
 import jax
 jax.config.update("jax_platforms", "cpu")

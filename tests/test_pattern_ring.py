@@ -12,6 +12,9 @@ import pytest
 from mg_gcn_tpu import sparse
 from mg_gcn_tpu.parallel import dist
 
+# compile-heavy interpret-mode tests: nightly-style full suite only
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def mesh2():

@@ -78,6 +78,7 @@ def test_block_pattern_empty_blocks_zeroed():
     assert np.abs(got_b[4096:]).max() == 0
 
 
+@pytest.mark.slow
 def test_block_pattern_in_model():
     from mg_gcn_tpu.models.gcn import GCNConfig, init_params, loss_and_grad
     from mg_gcn_tpu.ops.spmm import AggPair, COOMat
@@ -140,6 +141,7 @@ def test_block_pattern_tile_r_variants(tile_r):
     np.testing.assert_allclose(got_b, a_hat @ b, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_block_pattern_wide_features_chunked():
     """d > D_MAX exercises the feature-chunked block-kernel calls."""
     from mg_gcn_tpu.ops.spmm_pattern import D_MAX

@@ -90,6 +90,7 @@ def test_sddmm_bf16():
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
 
 
+@pytest.mark.slow
 def test_sddmm_rectangular_wide_d():
     csr = structure_csr(200, 384, density=0.05, seed=5)
     rng = np.random.default_rng(6)

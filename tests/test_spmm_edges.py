@@ -221,6 +221,7 @@ def test_int8_rejects_attention_and_transpose():
         se.spmm_edge_tiles_t(mat, sched, jnp.zeros((mat.n_out, 8), jnp.float32))
 
 
+@pytest.mark.slow
 def test_sddmm_on_int8_mat_uses_structure_only():
     """SDDMM shares the int8 mat's structure — the quantized-weight payload
     in the idx words must be masked off (scores never read mat.w); the int8

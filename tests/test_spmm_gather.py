@@ -62,6 +62,7 @@ def test_rectangular():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_multi_window_multi_supertile():
     # a graph that genuinely spans several (super-tile, window) groups
     csr = weighted_csr(40_000, 40_000, density=3e-4, seed=3)
@@ -110,6 +111,7 @@ def test_empty_matrix():
     assert np.all(got == 0)
 
 
+@pytest.mark.slow
 def test_feature_chunking_past_dmax():
     csr = weighted_csr(200, density=0.02, seed=5)
     d = sg.D_MAX_G + 64
@@ -117,6 +119,7 @@ def test_feature_chunking_past_dmax():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_spmm_dispatch_and_aggregate_vjp():
     import jax
 
@@ -138,6 +141,7 @@ def test_spmm_dispatch_and_aggregate_vjp():
     np.testing.assert_allclose(np.asarray(g), want_g, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_binary_pair_matches_normalized_weighted():
     """gather_pair_from_binary_csr (w-less walk + diagonal scales) must
     reproduce the normalize(axis=True) weighted pair exactly."""
@@ -161,6 +165,7 @@ def test_binary_pair_matches_normalized_weighted():
     )
 
 
+@pytest.mark.slow
 def test_pairing_matches_unpaired():
     """pair=True (run-coalesced entries) must be numerically identical to
     the all-singles layout."""

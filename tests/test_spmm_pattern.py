@@ -94,6 +94,7 @@ def test_pattern_int8_close():
     np.testing.assert_allclose(got_b, a_hat @ b, rtol=3e-2, atol=3e-2)
 
 
+@pytest.mark.slow
 def test_pattern_int8_trains_planted():
     """int8 aggregation must still learn the community task."""
     import scipy.sparse as ss
@@ -133,6 +134,7 @@ def test_rejects_weighted():
         sp.pattern_pair_from_binary_csr(g)
 
 
+@pytest.mark.slow
 def test_pattern_spmm_in_model():
     """End-to-end: AggPair of PatternMats through the GCN model."""
     from mg_gcn_tpu.models.gcn import GCNConfig, init_params, loss_and_grad
@@ -164,6 +166,7 @@ def test_pattern_spmm_in_model():
             )
 
 
+@pytest.mark.slow
 def test_pattern_wide_features_chunked():
     """d > D_MAX exercises the feature-chunked kernel calls (the SAGE-512
     config OOMed scoped VMEM before wrapper-level chunking)."""

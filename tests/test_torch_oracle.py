@@ -99,6 +99,7 @@ def test_framework_parity_vs_torch(sizes):
         )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("residual", [False, True])
 @pytest.mark.parametrize("sizes", [(12, 8, 4), (6, 24, 6, 4)])
 def test_framework_exact_vs_torch_autograd(sizes, residual):

@@ -9,6 +9,8 @@ scope) and unattributed ops.
 
 import os
 
+import pytest
+
 from mg_gcn_tpu.xplane import device_time_by_scope, _looks_like_phase
 
 
@@ -105,6 +107,7 @@ def test_phase_key_matcher():
     assert not _looks_like_phase("0_2_matmul-gemm")
 
 
+@pytest.mark.slow
 def test_cli_time_phases_cpu_fallback(tmp_path):
     # on the CPU backend there is no "/device:" plane: the CLI must fall
     # back to the un-fused replay and still write phase_ rows

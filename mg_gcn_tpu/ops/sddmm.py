@@ -51,6 +51,11 @@ from .spmm_edges import BC, CPS, IDX_MASK, K, RL_MASK, EdgeTileMat, interpret_de
 
 
 def _sddmm_kernel(meta_ref, chi_ref, idx_ref, a_ref, b_ref, g_ref, out_ref, *, br, cdtype):
+    """Selections are computed (d, K)-oriented so each chunk's scores land
+    as a (1, K) ROW of the (CPS, K) output block: the emitted array is the
+    slot layout directly — no 16×-padded (·, CPS)-minor intermediate in
+    HBM and no post-kernel transpose (the round-3 layout allocated
+    S·K×CPS f32 padded 8→128 lanes, ~11 GB at Reddit scale)."""
     s = pl.program_id(0)
     prec = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else None
     int8 = cdtype == jnp.int8
@@ -59,7 +64,7 @@ def _sddmm_kernel(meta_ref, chi_ref, idx_ref, a_ref, b_ref, g_ref, out_ref, *, b
     a_blk = a_ref[:]
     if a_blk.dtype != cdtype:
         a_blk = a_blk.astype(cdtype)
-    g_row = g_ref[0:1, :]  # (1, d) f32 per-feature dequant (ones off int8)
+    g_col = g_ref[:, 0:1]  # (d, 1) f32 per-feature dequant (ones off int8)
     nq = br // BC  # row sub-blocks (br is a multiple of 8; >=128 in practice)
 
     for c in range(CPS):
@@ -73,12 +78,12 @@ def _sddmm_kernel(meta_ref, chi_ref, idx_ref, a_ref, b_ref, g_ref, out_ref, *, b
             bsub = bsub.astype(cdtype)
         hg = (iota_l == cl).astype(cdtype)  # (BC, K)
         bc = jax.lax.dot_general(
-            hg,
             bsub,
+            hg,
             (((0,), (0,)), ((), ())),
             preferred_element_type=acc_t,
             precision=prec,
-        )  # (K, d): B_sub[cl_e, :]
+        )  # (d, K): B_sub[cl_e, :] per slot column
         if nq >= 1 and br % BC == 0:
             # two-level row select (VERDICT r3 #2): ONE shared (128, K)
             # one-hot keyed on the lane-local row (padding slots pushed to
@@ -93,26 +98,26 @@ def _sddmm_kernel(meta_ref, chi_ref, idx_ref, a_ref, b_ref, g_ref, out_ref, *, b
             for qq in range(nq):
                 mq = (qv == qq).astype(cdtype)  # (1, K) lane mask
                 part = jax.lax.dot_general(
-                    sel * mq,
                     a_blk[qq * BC : (qq + 1) * BC, :],
+                    sel * mq,
                     (((0,), (0,)), ((), ())),
                     preferred_element_type=acc_t,
                     precision=prec,
-                )  # (K, d)
+                )  # (d, K)
                 ar = part if ar is None else ar + part
         else:  # pragma: no cover - br < 128 only in synthetic tiny configs
             iota_r = jax.lax.broadcasted_iota(jnp.int32, (br, K), 0)
             hr = ((iota_r == rl) & (valid != 0)).astype(cdtype)
             ar = jax.lax.dot_general(
-                hr,
                 a_blk,
+                hr,
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=acc_t,
                 precision=prec,
-            )
+            )  # (d, K)
         # products <= 127²·d < 2³¹ in int8 mode: the i32 product is exact
-        prod = (ar * bc).astype(jnp.float32) * g_row  # (K, d)
-        out_ref[:, c : c + 1] = jnp.sum(prod, axis=1, keepdims=True)
+        prod = (ar * bc).astype(jnp.float32) * g_col  # (d, K)
+        out_ref[c : c + 1, :] = jnp.sum(prod, axis=0, keepdims=True)
 
 
 def sddmm_edge_tiles(mat: EdgeTileMat, a: jax.Array, b: jax.Array) -> jax.Array:
@@ -153,7 +158,7 @@ def sddmm_edge_tiles(mat: EdgeTileMat, a: jax.Array, b: jax.Array) -> jax.Array:
         bq = jnp.clip(jnp.round(b32 / qb[None, :]), -127, 127).astype(jnp.int8)
         a_pad = jnp.zeros((mat.n_out_pad, d_pad), jnp.int8).at[: mat.n_out, :d].set(aq)
         b_pad = jnp.zeros((mat.n_in_pad, d_pad), jnp.int8).at[: mat.n_in, :d].set(bq)
-        g = jnp.zeros((8, d_pad), jnp.float32).at[0, :d].set(qa * qb)
+        g = jnp.zeros((d_pad, 8), jnp.float32).at[:d, 0].set(qa * qb)
     else:
         a_pad = jnp.zeros((mat.n_out_pad, d_pad), cdtype).at[: mat.n_out, :d].set(
             a.astype(cdtype)
@@ -161,7 +166,7 @@ def sddmm_edge_tiles(mat: EdgeTileMat, a: jax.Array, b: jax.Array) -> jax.Array:
         b_pad = jnp.zeros((mat.n_in_pad, d_pad), cdtype).at[: mat.n_in, :d].set(
             b.astype(cdtype)
         )
-        g = jnp.ones((8, d_pad), jnp.float32)
+        g = jnp.ones((d_pad, 8), jnp.float32)
     S = mat.num_steps
     br = mat.br
     tcw_bits = mat.tcw_bits
@@ -184,17 +189,17 @@ def sddmm_edge_tiles(mat: EdgeTileMat, a: jax.Array, b: jax.Array) -> jax.Array:
                 lambda s, meta: ((meta[s] >> 1) & tcw_mask, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((8, d_pad), lambda s, meta: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, 8), lambda s, meta: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (K, CPS), lambda s, meta: (s, 0), memory_space=pltpu.VMEM
+            (CPS, K), lambda s, meta: (s, 0), memory_space=pltpu.VMEM
         ),
     )
     itemsize = 1 if cdtype == jnp.int8 else 2
     out = pl.pallas_call(
         functools.partial(_sddmm_kernel, br=br, cdtype=cdtype),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((S * K, CPS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((S * CPS, K), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * S * CPS * K * (br + BC) * d_pad
             // (2 if cdtype == jnp.int8 else 1),
@@ -205,6 +210,5 @@ def sddmm_edge_tiles(mat: EdgeTileMat, a: jax.Array, b: jax.Array) -> jax.Array:
         ),
         interpret=interpret_default(),
     )(mat.meta, mat.chi, mat.idx, a_pad, b_pad, g)
-    # kernel emits scores slot-major within each step's (K, CPS) block;
-    # transpose back to the (S·CPS, K) slot layout mat.w uses
-    return out.reshape(S, K, CPS).transpose(0, 2, 1).reshape(S * CPS, K)
+    # the (CPS, K) output blocks ARE the (S·CPS, K) slot layout mat.w uses
+    return out

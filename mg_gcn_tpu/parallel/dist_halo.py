@@ -217,6 +217,34 @@ class DistHaloMat:
         return DistHaloMat.from_slabs(slab_of, n, parts, pad_to=pad_to)
 
     @staticmethod
+    def from_pigo(
+        path: str,
+        parts: int,
+        mesh: Mesh | None = None,
+        pad_to: int = 512,
+    ) -> "DistHaloMat":
+        """Per-process build straight from a PIGO-CSR ``graph.bin``: each
+        process mmap-reads ONLY its row slabs (multi-host papers100M
+        loading; pair with ``multihost.load_row_sharded`` for features)."""
+        from ..formats import read_pigo_csr_slab
+
+        header = np.memmap(path, dtype=np.uint8, mode="r")
+        off = 11 + 2  # magic + widths
+        vwidth = int(header[11])
+        vdt = np.uint32 if vwidth == 4 else np.uint64
+        n = int(np.frombuffer(header[off : off + np.dtype(vdt).itemsize], vdt)[0])
+        if n % parts:
+            raise ValueError(f"n ({n}) not divisible by parts ({parts})")
+        m_loc = n // parts
+        return DistHaloMat.from_slabs(
+            lambda j: read_pigo_csr_slab(path, j * m_loc, (j + 1) * m_loc),
+            n,
+            parts,
+            pad_to=pad_to,
+            mesh=mesh,
+        )
+
+    @staticmethod
     def from_slabs(
         slab_of,
         n: int,

@@ -93,12 +93,13 @@ def probe_sddmm():
 
     @jax.jit
     def chain(m, aa):
-        acc = None
+        # scalar accumulation: keeping CH full score arrays alive OOMs HBM
+        acc = jnp.float32(0)
         a_ = aa
         for _ in range(CH):
             s = sddmm_edge_tiles(m, a_, a_[: m.n_in])
-            acc = s if acc is None else acc + s
-            a_ = a_ * (1.0 + 1e-6 * jnp.sum(s) / (jnp.abs(jnp.sum(s)) + 1e9))
+            acc = acc + jnp.sum(s)
+            a_ = a_ * (1.0 + 1e-6 * acc / (jnp.abs(acc) + 1.0))
         return acc
 
     best = timeit(chain, mat, a)

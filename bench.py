@@ -661,10 +661,19 @@ def main() -> None:
                 py = jnp.asarray(pcomm.astype(np.int32))
             pparams = init_params(pconfig)
             popt = adam.adam_init(pparams)
-            pstep = make_train_step(pconfig)
-            p_epoch_s, plosses, paccs = run_epochs(
-                pstep, pparams, popt, ppair, "products 3x256", epochs=3, xy=(px, py)
-            )
+            # bf16 window streaming for the training step: the gather
+            # kernel at this scale is HBM-bound on operand re-streaming
+            # (PERF.md round 4); scoped to this trace — pagerank below
+            # keeps the exact-f32 walk (its eps stopping rule needs it)
+            os.environ["MG_GCN_GATHER_STREAM_BF16"] = "1"
+            try:
+                pstep = make_train_step(pconfig)
+                p_epoch_s, plosses, paccs = run_epochs(
+                    pstep, pparams, popt, ppair, "products 3x256",
+                    epochs=3, xy=(px, py),
+                )
+            finally:
+                os.environ.pop("MG_GCN_GATHER_STREAM_BF16", None)
             out_health.update(health("products", plosses, paccs))
             products_meta = dict(
                 products_epoch_seconds=p_epoch_s,

@@ -299,7 +299,7 @@ void mggcn_edge_fill(int64_t total_chunks, int64_t K, int64_t BC, int64_t br,
 }
 
 // Serial-gather schedule sort + pair partition: stable sort by group key
-// gkey = (row>>14)*n_win + (col>>14), then detect same-row runs within each
+// gkey = (row>>r_bits)*n_win + (col>>14), then detect same-row runs within
 // group, mark the odd tail edge of each run as single, and stable-resort by
 // gkey*2 + is_single so each group becomes [pair edges..., singles...] —
 // bit-identical to the two np.argsort(kind="stable") passes. Emits the
@@ -308,8 +308,8 @@ void mggcn_edge_fill(int64_t total_chunks, int64_t K, int64_t BC, int64_t br,
 int64_t mggcn_gather_sort(int64_t n_out, int64_t nnz, const int64_t* indptr,
                           const int32_t* indices, const float* data,
                           int64_t n_win, int64_t n_st, int32_t do_pair,
-                          int32_t* rows_s, int32_t* cols_s, float* data_s,
-                          int64_t* groups, int64_t* gcounts,
+                          int32_t r_bits, int32_t* rows_s, int32_t* cols_s,
+                          float* data_s, int64_t* groups, int64_t* gcounts,
                           int64_t* g_pair_edges) {
   std::vector<int32_t> rows(nnz), key(nnz);
 #pragma omp parallel for schedule(static)
@@ -319,7 +319,7 @@ int64_t mggcn_gather_sort(int64_t n_out, int64_t nnz, const int64_t* indptr,
   std::atomic<int> bad{0};
 #pragma omp parallel for schedule(static)
   for (int64_t e = 0; e < nnz; ++e) {
-    int64_t k = (int64_t)(rows[e] >> 14) * n_win + (indices[e] >> 14);
+    int64_t k = (int64_t)(rows[e] >> r_bits) * n_win + (indices[e] >> 14);
     if (k < 0 || k >= n_st * n_win) bad.store(1, std::memory_order_relaxed);
     key[e] = (int32_t)k;
   }
@@ -388,11 +388,11 @@ void mggcn_gather_fill(int64_t S, int64_t E_BLK, const int64_t* s_e0,
                        const int64_t* s_win, const int64_t* s_lp,
                        const int32_t* rows_s, const int32_t* cols_s,
                        const float* data_s, int64_t nnz, int32_t w_bits,
-                       int32_t* idx, float* w /* nullable */) {
+                       int32_t r_bits, int32_t* idx, float* w /* nullable */) {
 #pragma omp parallel for schedule(static)
   for (int64_t s = 0; s < S; ++s) {
     int64_t e0 = s_e0[s], e1 = s_e1[s];
-    int32_t st_base = (int32_t)(s_st[s] << 14);
+    int32_t st_base = (int32_t)(s_st[s] << r_bits);
     int32_t win_base = (int32_t)(s_win[s] << 14);
     int64_t pair_slots = 2 * s_lp[s];
     int32_t* out = idx + s * E_BLK;

@@ -61,7 +61,15 @@ def _load():
     _tried = True
     if os.environ.get("MG_GCN_NO_NATIVE"):
         return None
-    if not os.path.exists(_SO) and not _build():
+    src = os.path.join(_CSRC, "mggcn_host.cpp")
+    stale = (
+        not os.path.exists(_SO)
+        or (
+            os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(_SO)
+        )  # ABI changes (e.g. the r_bits params) must force a rebuild
+    )
+    if stale and not _build():
         return None
     try:
         lib = ctypes.CDLL(_SO)
@@ -84,13 +92,13 @@ def _load():
         _i32p, ctypes.c_void_p,
     ]
     lib.mggcn_gather_sort.argtypes = [
-        c, c, _i64p, _i32p, _f32p, c, c, i32,
+        c, c, _i64p, _i32p, _f32p, c, c, i32, i32,
         _i32p, _i32p, _f32p, _i64p, _i64p, _i64p,
     ]
     lib.mggcn_gather_sort.restype = c
     lib.mggcn_gather_fill.argtypes = [
         c, c, _i64p, _i64p, _i64p, _i64p, _i64p,
-        _i32p, _i32p, _f32p, c, i32, _i32p, ctypes.c_void_p,
+        _i32p, _i32p, _f32p, c, i32, i32, _i32p, ctypes.c_void_p,
     ]
     lib.mggcn_num_threads.restype = ctypes.c_int
     _lib = lib
@@ -216,7 +224,7 @@ def edge_fill(chunk_e0, chunk_e1, chunk_tr, chunk_gsub, rows_s, cols_s,
     return idx, w
 
 
-def gather_sort_pair(csr, n_win: int, n_st: int, pair: bool):
+def gather_sort_pair(csr, n_win: int, n_st: int, pair: bool, r_bits: int = 14):
     """Stable two-pass sort of the edge list into serial-gather group order
     (group key, then pairs-before-singles within each group) — bit-identical
     to the numpy double argsort. Returns (rows_s, cols_s, data_s, groups,
@@ -233,7 +241,8 @@ def gather_sort_pair(csr, n_win: int, n_st: int, pair: bool):
     g_pair = np.empty(max_groups, np.int64)
     ng = lib.mggcn_gather_sort(
         csr.nrows, nnz, indptr, indices, data, n_win, n_st,
-        1 if pair else 0, rows_s, cols_s, data_s, groups, gcounts, g_pair,
+        1 if pair else 0, r_bits, rows_s, cols_s, data_s, groups, gcounts,
+        g_pair,
     )
     if ng < 0:
         raise ValueError("gather key out of range (shapes vs n_win mismatch)")
@@ -241,7 +250,7 @@ def gather_sort_pair(csr, n_win: int, n_st: int, pair: bool):
 
 
 def gather_fill(s_e0, s_e1, s_st, s_win, s_lp, rows_s, cols_s, data_s,
-                e_blk: int, w_bits: int, binary: bool):
+                e_blk: int, w_bits: int, binary: bool, r_bits: int = 14):
     """Fused slot fill of the serial-gather idx (+w) arrays."""
     lib = _load()
     S = int(s_e0.shape[0])
@@ -254,7 +263,7 @@ def gather_fill(s_e0, s_e1, s_st, s_win, s_lp, rows_s, cols_s, data_s,
         np.ascontiguousarray(s_st, np.int64),
         np.ascontiguousarray(s_win, np.int64),
         np.ascontiguousarray(s_lp, np.int64),
-        rows_s, cols_s, data_s, rows_s.shape[0], w_bits,
+        rows_s, cols_s, data_s, rows_s.shape[0], w_bits, r_bits,
         idx.reshape(-1), _cptr(w if not binary else None),
     )
     return idx, w

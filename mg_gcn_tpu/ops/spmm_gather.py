@@ -38,11 +38,17 @@ single-row slices of f32 VMEM* (load and store) with a scalar index — a
    degree-normalized GCN/PageRank operator factors into diagonal scales
    around a binary core, applied in the wrapper) skip the w block
    entirely, halving SMEM traffic.
-4. ``bwin`` is the (W, d) f32 slice of B selected by the step's window id
+4. ``bwin`` is the (W, d) slice of B selected by the step's window id
    (scalar-prefetch index_map); the accumulator is the (R, d) f32 output
    block selected by the super-tile id. Total B traffic is
-   ``(n_out_pad / R) · bytes(B)`` — the price of output-stationary order —
-   and edge traffic is 4–8 B/slot, both tiny next to the serial VPU walk.
+   ``(n_out_pad / R) · bytes(B)`` — the price of output-stationary order.
+   At products scale that re-streaming, not the walk, bounds the kernel
+   (PERF.md round 4), so (a) graphs past R_BIG_THRESHOLD rows build with
+   32k-row super-tiles (halving n_st; the second accumulator bank is
+   dropped when the doubled blocks would blow the VMEM scope), and (b)
+   ``spmm_gather(..., stream_bf16=True)`` ships B in bf16 and casts each
+   window once into an f32 VMEM scratch the walk reads — half the traffic,
+   bf16-rounded operands, the walk itself stays f32.
 
 Everything dynamic rides in i32/f32 (Mosaic v5e rejects single-row dynamic
 slices of 16-bit dtypes), so B is staged to f32 on device. Cost is
@@ -66,7 +72,15 @@ from ..formats import CSRData
 from .spmm_edges import interpret_default
 from .spmm_pattern import round_up
 
-R_ROWS = 16_384  # rows per output super-tile (acc block, f32)
+R_ROWS = 16_384  # default rows per output super-tile (acc block, f32)
+# Big graphs get taller super-tiles: total operand traffic is
+# (n_out_pad / r_rows) x bytes(B) (output-stationary order), and at
+# products scale (n=2.45M, d=256) that re-streaming — not the serial walk —
+# bounds the kernel (measured 534 ms of the 802 ms d=128 SpMM). 32k-row
+# accumulators double the VMEM (2 banks x 32 MB at d=256 + 2 x 16 MB bwin
+# = 96 MB, inside the 100 MB scoped budget) and halve the traffic.
+R_ROWS_BIG = 32_768
+R_BIG_THRESHOLD = 1_000_000  # n_out above this picks R_ROWS_BIG
 W_ROWS = 16_384  # operand rows per window (bwin block, f32)
 W_BITS = 14  # log2(W_ROWS): col_local fits 14 bits in the packed word
 E_BLK = 2048  # edge slots per grid step (SMEM-blocked, 8 steps per fetch)
@@ -77,7 +91,7 @@ LP_BITS = 11  # meta2: live pair count (<= E_BLK/2)
 # Bump on ANY schedule-builder change: disk caches of built gather
 # schedules key on this (see spmm_edges.SCHED_VERSION for the round-3
 # stale-cache incident this guards against).
-SCHED_VERSION = 2
+SCHED_VERSION = 3
 
 
 @functools.partial(
@@ -93,6 +107,7 @@ SCHED_VERSION = 2
         "fill",
         "scale_side",
         "pairfrac",
+        "r_rows",
     ],
 )
 @dataclass(frozen=True)
@@ -128,6 +143,7 @@ class GatherMat:
     fill: float = 1.0  # nnz / slot count (diagnostic)
     scale_side: str = "none"  # "none" | "pre" | "post"
     pairfrac: float = 0.0  # fraction of edges walked in pair entries (diag)
+    r_rows: int = R_ROWS  # output super-tile height (R_ROWS_BIG on big graphs)
 
     @property
     def num_steps(self) -> int:
@@ -158,6 +174,7 @@ def gather_schedule_host(
     pad_steps_to: int | None = None,
     binary: bool | None = None,
     pair: bool = True,
+    r_rows: int | None = None,
 ) -> dict:
     """The pure-host build: group edges by (super-tile, window), pack
     same-row runs into pair entries, pad into E_BLK-slot steps, pack the
@@ -168,9 +185,14 @@ def gather_schedule_host(
     stack (a coincidentally-all-ones block would otherwise drop its w
     array and break the stack), True to assert values are ones."""
     n_out, n_in = csr.shape
-    n_out_pad = round_up(max(n_out, R_ROWS), R_ROWS)
+    if r_rows is None:
+        r_rows = R_ROWS_BIG if n_out > R_BIG_THRESHOLD else R_ROWS
+    if r_rows & (r_rows - 1) or r_rows < W_ROWS:
+        raise ValueError(f"r_rows ({r_rows}) must be a power of two >= {W_ROWS}")
+    r_bits = r_rows.bit_length() - 1
+    n_out_pad = round_up(max(n_out, r_rows), r_rows)
     n_in_pad = round_up(max(n_in, W_ROWS), W_ROWS)
-    n_st = n_out_pad // R_ROWS
+    n_st = n_out_pad // r_rows
     n_win = n_in_pad // W_ROWS
     if csr.nnz >= 2**31:
         raise ValueError("graph too large for the single-chip gather build")
@@ -192,7 +214,7 @@ def gather_schedule_host(
         # fused expand + two stable counting sorts + run pairing — bit-
         # identical to the numpy double argsort (csrc/mggcn_host.cpp)
         rows_s, cols_s, data_s, groups, gcounts, g_pair_edges = (
-            native_lib.gather_sort_pair(csr, n_win, n_st, pair)
+            native_lib.gather_sort_pair(csr, n_win, n_st, pair, r_bits)
         )
         gkey_s = np.empty(0, np.int64)  # unused on the native path
     else:
@@ -200,7 +222,7 @@ def gather_schedule_host(
         counts = np.diff(csr.indptr).astype(np.int64)
         rows = np.repeat(np.arange(n_out, dtype=np.int32), counts)
         cols = csr.indices.astype(np.int32, copy=False)
-        gkey = (rows >> 14).astype(np.int64) * n_win + (cols >> 14)  # R=W=2^14
+        gkey = (rows >> r_bits).astype(np.int64) * n_win + (cols >> 14)
         order = np.argsort(gkey, kind="stable")  # keeps CSR row order per group
         rows_s = rows[order]
         cols_s = cols[order]
@@ -335,7 +357,7 @@ def gather_schedule_host(
     if native_lib is not None:
         idx, w = native_lib.gather_fill(
             s_e0, s_e1, s_st, s_win, s_lp, rows_s, cols_s, data_s,
-            E_BLK, W_BITS, binary,
+            E_BLK, W_BITS, binary, r_bits,
         )
         return dict(
             idx=idx,
@@ -351,6 +373,7 @@ def gather_schedule_host(
             fill=float(csr.nnz) / max(S * E_BLK, 1),
             binary=binary,
             pairfrac=pairfrac,
+            r_rows=r_rows,
         )
     idx = np.zeros((S, E_BLK), np.int32)
     w = np.zeros((S, E_BLK) if not binary else (0,), np.float32)
@@ -361,7 +384,7 @@ def gather_schedule_host(
         pos = s_e0[b0:b1, None] + lane
         valid = pos < s_e1[b0:b1, None]
         src = np.where(valid, pos, 0)
-        rl = rows_s[src] - (s_st[b0:b1, None] << 14).astype(np.int32)
+        rl = rows_s[src] - (s_st[b0:b1, None] << r_bits).astype(np.int32)
         cl = cols_s[src] - (s_win[b0:b1, None] << 14).astype(np.int32)
         # pair region: even slot -> c1 | (c2 << 14); odd slot -> shared row
         in_pair = (pos - s_e0[b0:b1, None]) < 2 * s_lp[b0:b1, None]
@@ -389,6 +412,7 @@ def gather_schedule_host(
         fill=float(csr.nnz) / max(S * E_BLK, 1),
         binary=binary,
         pairfrac=pairfrac,
+        r_rows=r_rows,
     )
 
 
@@ -448,6 +472,7 @@ def gather_mat_from_host(
         fill=float(sched["fill"]),
         scale_side=scale_side if scale is not None else "none",
         pairfrac=float(sched.get("pairfrac", 0.0)),
+        r_rows=int(sched.get("r_rows", R_ROWS)),
     )
 
 
@@ -459,9 +484,19 @@ CMASK = W_ROWS - 1
 # output block — consecutive entries alternate target refs. Disable via
 # env for A/B probes.
 BANKED = os.environ.get("MG_GCN_GATHER_BANKED", "1") != "0"
+def STREAM_BF16():
+    """bf16 operand streaming default — read at trace time so callers
+    (e.g. the bench's products section) can scope it per jitted step."""
+    return os.environ.get("MG_GCN_GATHER_STREAM_BF16", "0") == "1"
 
 
-def _gather_kernel(meta_ref, meta2_ref, idx_ref, *rest, has_w, banked, n_steps):
+def _gather_kernel(
+    meta_ref, meta2_ref, idx_ref, *rest, has_w, banked, stream, n_steps, rmask
+):
+    if stream:
+        *rest, cast_ref = rest
+    else:
+        cast_ref = None
     if banked:
         *rest, bank_ref = rest
     else:
@@ -480,6 +515,25 @@ def _gather_kernel(meta_ref, meta2_ref, idx_ref, *rest, has_w, banked, n_steps):
         if banked:
             bank_ref[:] = jnp.zeros_like(bank_ref)
 
+    if stream:
+        # bf16 window streaming: B rides HBM->VMEM in bf16 (half the
+        # operand traffic — the measured bound at products scale) and is
+        # cast once per (super-tile, window) block into an f32 scratch the
+        # serial walk reads (Mosaic rejects 16-bit single-row dynamic
+        # slices; a full-block cast is ~2k cycles, amortized over the
+        # block's edges). Block change = the st||win meta fields changed.
+        m_prev = meta_ref[jnp.maximum(s - 1, 0)]
+        blk_changed = jnp.logical_or(
+            s == 0,
+            (m >> (1 + LIVE_BITS)) != (m_prev >> (1 + LIVE_BITS)),
+        )
+
+        @pl.when(blk_changed)
+        def _():
+            cast_ref[:] = b_ref[:].astype(jnp.float32)
+
+        b_ref = cast_ref
+
     row8 = s % 8  # the SMEM edge blocks ship 8 steps per fetch
     m2 = meta2_ref[s]
     lp = m2 & ((1 << LP_BITS) - 1)
@@ -490,7 +544,7 @@ def _gather_kernel(meta_ref, meta2_ref, idx_ref, *rest, has_w, banked, n_steps):
         v1 = idx_ref[row8, 2 * k + 1]
         c1 = v0 & CMASK
         c2 = (v0 >> W_BITS) & CMASK
-        r = v1 & CMASK
+        r = v1 & rmask  # odd pair word holds the shared row-local id
         g1 = b_ref[pl.ds(c1, 1), :]
         g2 = b_ref[pl.ds(c2, 1), :]
         if has_w:
@@ -577,6 +631,18 @@ def _gather_call(
             axis=1,
         )
     n_in_pad, d_pad = b_pad.shape
+    # scoped-VMEM budget: the pipeline double-buffers the revisited out
+    # block and the bwin input (measured: 3 x out + 2 x bwin at the 32k
+    # super-tiles OOMed the 100 MB scope at d=256) — drop the second bank
+    # when it would not fit; correctness is unaffected
+    stream = b_pad.dtype == jnp.bfloat16  # bf16 window streaming (opt-in)
+    bwin_bytes = 2 * W_ROWS * d_pad * b_pad.dtype.itemsize + (
+        W_ROWS * d_pad * 4 if stream else 0  # + the f32 cast scratch
+    )
+    banked = (
+        banked
+        and 3 * mat.r_rows * d_pad * 4 + bwin_bytes <= 100 * 1024 * 1024
+    )
     S = mat.num_steps
     win_bits = mat.win_bits
     win_mask = (1 << win_bits) - 1
@@ -604,20 +670,22 @@ def _gather_call(
         grid=(S,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (R_ROWS, d_pad),
+            (mat.r_rows, d_pad),
             lambda s, meta, m2: (meta[s] >> (win_bits + 1 + LIVE_BITS), 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=(
-            [pltpu.VMEM((R_ROWS, d_pad), jnp.float32)] if banked else []
-        ),
+            [pltpu.VMEM((mat.r_rows, d_pad), jnp.float32)] if banked else []
+        )
+        + ([pltpu.VMEM((W_ROWS, d_pad), jnp.float32)] if stream else []),
     )
     operands = (mat.meta, mat.meta2, mat.idx) + (
         (mat.w, b_pad) if has_w else (b_pad,)
     )
     return pl.pallas_call(
         functools.partial(
-            _gather_kernel, has_w=has_w, banked=banked, n_steps=S
+            _gather_kernel, has_w=has_w, banked=banked, stream=stream,
+            n_steps=S, rmask=mat.r_rows - 1,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((mat.n_out_pad, d_pad), jnp.float32),
@@ -638,8 +706,20 @@ def _gather_call(
     )(*operands)
 
 
-def spmm_gather(mat: GatherMat, b: jax.Array) -> jax.Array:
-    """``C = M @ B`` for row-major B (n_in, d); returns (n_out, d) float32."""
+def spmm_gather(
+    mat: GatherMat, b: jax.Array, stream_bf16: bool | None = None
+) -> jax.Array:
+    """``C = M @ B`` for row-major B (n_in, d); returns (n_out, d) float32.
+
+    ``stream_bf16`` rounds the operand to bf16 on the wire (HBM->VMEM) and
+    casts each window back to f32 in VMEM before the serial walk — half the
+    operand traffic, which is the measured bound at products scale
+    (PERF.md round 4). Default off (the engine's exact-f32 contract);
+    enable explicitly or via MG_GCN_GATHER_STREAM_BF16=1 for
+    bandwidth-bound big-graph runs where bf16 activations are acceptable.
+    """
+    if stream_bf16 is None:
+        stream_bf16 = STREAM_BF16()
     n, d = b.shape
     if n != mat.n_in:
         raise ValueError(f"B has {n} rows, gather matrix expects {mat.n_in}")
@@ -647,8 +727,9 @@ def spmm_gather(mat: GatherMat, b: jax.Array) -> jax.Array:
     if mat.scale_side == "pre":
         b = b * mat.scale[:n, None]
     d_pad = round_up(max(d, 128), 128)
-    b_pad = jnp.zeros((mat.n_in_pad, d_pad), jnp.float32)
-    b_pad = b_pad.at[:n, :d].set(b)
+    wire_t = jnp.bfloat16 if stream_bf16 else jnp.float32
+    b_pad = jnp.zeros((mat.n_in_pad, d_pad), wire_t)
+    b_pad = b_pad.at[:n, :d].set(b.astype(wire_t))
     out = _gather_call(mat, b_pad)[: mat.n_out, :d]
     if mat.scale_side == "post":
         out = out * mat.scale[: mat.n_out, None]

@@ -355,7 +355,12 @@ class DistGatherMat:
         part = host_sparse.uniform_partition(n, parts)
         blocks = host_sparse.partition_blocks(csr, part, part)
         scheds = [
-            [sg.gather_schedule_host(blocks[j][(j + s) % parts], binary=False) for s in range(parts)]
+            [
+                sg.gather_schedule_host(
+                    blocks[j][(j + s) % parts], binary=False, r_rows=sg.R_ROWS
+                )
+                for s in range(parts)
+            ]
             for j in range(parts)
         ]
         S_max = max(s["meta"].shape[0] for row in scheds for s in row)

@@ -524,7 +524,9 @@ class DistHaloGatherMat:
             scheds = []
             for j in range(parts):
                 b = make_block(j)
-                scheds.append(sg.gather_schedule_host(b, binary=False))
+                scheds.append(
+                    sg.gather_schedule_host(b, binary=False, r_rows=sg.R_ROWS)
+                )
                 del b
             S_max = max(o["meta"].shape[0] for o in scheds)
             idx = np.zeros((parts, S_max, sg.E_BLK), np.int32)

@@ -184,3 +184,43 @@ def test_pairing_matches_unpaired():
         np.asarray(sg.spmm_gather(ms, b)),
         rtol=1e-4, atol=1e-5,
     )
+
+
+@pytest.mark.slow
+def test_tall_supertile_r_rows_32k():
+    """r_rows=32768 schedules (auto-picked past R_BIG_THRESHOLD to halve
+    the operand window re-streaming — PERF.md round-4): same numerics as
+    the default 16k build on a graph spanning several 32k super-tiles."""
+    csr = weighted_csr(70_000, 40_000, density=2e-4, seed=9)
+    rng = np.random.default_rng(9)
+    b = rng.standard_normal((csr.ncols, 4)).astype(np.float32)
+    sched = sg.gather_schedule_host(csr, r_rows=32_768)
+    assert sched["r_rows"] == 32_768
+    mat = sg.gather_mat_from_host(sched)
+    assert mat.r_rows == 32_768
+    assert mat.n_out_pad // 32_768 >= 3
+    got = np.asarray(sg.spmm_gather(mat, jnp.asarray(b)))
+    want = csr.to_dense() @ b
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # and the pairs region decodes rows > 16383 correctly (rmask)
+    ref = sg.gather_mat_from_csr(csr)  # default 16k build
+    got16 = np.asarray(sg.spmm_gather(ref, jnp.asarray(b)))
+    np.testing.assert_allclose(got, got16, rtol=1e-5, atol=1e-5)
+
+
+def test_auto_r_rows_threshold():
+    """The auto pick flips to R_ROWS_BIG past the threshold (host-only)."""
+    small = sg.gather_schedule_host(weighted_csr(1000, density=5e-3))
+    assert small["r_rows"] == sg.R_ROWS
+
+
+def test_stream_bf16_close():
+    """bf16 window streaming: same result to bf16 rounding tolerance."""
+    csr = weighted_csr(600, density=0.01, seed=4)
+    rng = np.random.default_rng(4)
+    b = rng.standard_normal((csr.ncols, 8)).astype(np.float32)
+    mat = sg.gather_mat_from_csr(csr)
+    exact = np.asarray(sg.spmm_gather(mat, jnp.asarray(b)))
+    got = np.asarray(sg.spmm_gather(mat, jnp.asarray(b), stream_bf16=True))
+    np.testing.assert_allclose(got, exact, rtol=2e-2, atol=2e-2)
+    assert np.abs(got - exact).max() > 0  # bf16 rounding actually happened

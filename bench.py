@@ -845,6 +845,12 @@ def main() -> None:
             hmat = hgraph = hsched = hx = hparams = hopt = None  # noqa: F841
             gc.collect()
         except Exception as exc:
+            # the cap proof is part of the record: at Reddit scale the
+            # TRANSPOSED attention schedule needs 2 x S prefetch words
+            # (~330k at br=512) against the ~1 MB SMEM budget (220k) —
+            # attention at this scale is the distributed pipeline's job
+            # (parallel/dist_gat.py shards the schedule per device)
+            gat_meta["gat_headline_skipped"] = str(exc)[:200]
             print(f"gat headline aux skipped: {exc}", file=sys.stderr)
 
     value = SPMM_PER_EPOCH * nnz / epoch_s

@@ -338,14 +338,20 @@ def main() -> None:
                 "pre",
                 "float32",
             )
+            # warmup compiles the chunked SpMV; scoreboard = steady state
+            # (run_epochs' warm-median convention, PERF.md round 5)
+            t0 = time.perf_counter()
+            power_iterate(prmat, N, damping=0.85, eps=1e-4)
+            pr_cold = time.perf_counter() - t0
             t0 = time.perf_counter()
             prv, prit = power_iterate(prmat, N, damping=0.85, eps=1e-4)
             pr_s = time.perf_counter() - t0
             pagerank_meta["pagerank_reddit_seconds"] = pr_s
+            pagerank_meta["pagerank_reddit_cold_seconds"] = pr_cold
             pagerank_meta["pagerank_reddit_iters"] = prit
             print(
-                f"[pagerank reddit-scale] {pr_s:.2f}s ({prit} iters, "
-                "pattern pack reused)",
+                f"[pagerank reddit-scale] {pr_s:.2f}s warm / {pr_cold:.2f}s "
+                f"cold ({prit} iters, pattern pack reused)",
                 file=sys.stderr,
             )
             prmat = prv = None  # noqa: F841
@@ -703,13 +709,24 @@ def main() -> None:
                     scale=jnp.asarray(1.0 / np.maximum(outdeg, 1.0)),
                     scale_side="pre",
                 )
+                # warmup call compiles the chunked SpMV (the serial-gather
+                # kernel's compile is tens of seconds at this scale and was
+                # the whole BENCH_r04 "regression": 18.5 s cold vs 7.1 s
+                # steady-state — PERF.md round 5); report both, scoreboard
+                # number = steady state, consistent with run_epochs'
+                # warm-median convention
+                t0 = time.perf_counter()
+                power_iterate(prmat, pn, damping=0.85, eps=1e-4)
+                pr_prod_cold = time.perf_counter() - t0
                 t0 = time.perf_counter()
                 prv, prit = power_iterate(prmat, pn, damping=0.85, eps=1e-4)
                 pr_prod_s = time.perf_counter() - t0
                 products_meta["pagerank_products_seconds"] = pr_prod_s
+                products_meta["pagerank_products_cold_seconds"] = pr_prod_cold
                 products_meta["pagerank_products_iters"] = prit
                 print(
-                    f"[pagerank products-scale] {pr_prod_s:.2f}s "
+                    f"[pagerank products-scale] {pr_prod_s:.2f}s warm / "
+                    f"{pr_prod_cold:.2f}s cold "
                     f"({prit} iters, schedule reused from GCN pair)",
                     file=sys.stderr,
                 )

@@ -93,6 +93,22 @@ def _pagerank_mat(graph: CSRData, impl: str = "auto"):
 CHUNK = 8  # power iterations per dispatch
 
 
+@jax.jit
+def _pr_chunk(mat, p, damping):
+    """CHUNK power iterations under one dispatch. Module-level jit (not a
+    closure rebuilt per power_iterate call) so repeat calls on the same
+    matrix hit the trace cache — the compile of the serial-gather kernel at
+    products scale is tens of seconds and must not be paid per call."""
+
+    def body(p, _):
+        p_new = spmm(mat, damping * p + (1.0 - damping))
+        err = jnp.max(jnp.abs(p_new - p))
+        return p_new, (p_new[:, 0], err)
+
+    p_last, (ps, errs) = jax.lax.scan(body, p, None, length=CHUNK)
+    return p_last, ps, errs
+
+
 def power_iterate(
     mat,
     n: int,
@@ -107,21 +123,12 @@ def power_iterate(
     stacking the iterates (CHUNK·n f32, a few MB) and their L∞ changes;
     the host picks the first crossing."""
 
-    @jax.jit
-    def chunk(mat, p):
-        def body(p, _):
-            p_new = spmm(mat, damping * p + (1.0 - damping))
-            err = jnp.max(jnp.abs(p_new - p))
-            return p_new, (p_new[:, 0], err)
-
-        p_last, (ps, errs) = jax.lax.scan(body, p, None, length=CHUNK)
-        return p_last, ps, errs
-
+    damping_t = jnp.float32(damping)  # traced arg: no retrace across calls
     p = jnp.ones((n, 1), jnp.float32)
     done_iters = 0
     while done_iters < max_iters:
         allowed = max_iters - done_iters  # cap at max_iters like it < max_iters
-        p, ps, errs = chunk(mat, p)
+        p, ps, errs = _pr_chunk(mat, p, damping_t)
         errs_h = np.asarray(errs)
         hit = np.flatnonzero(errs_h[:allowed] < eps)
         if hit.size:

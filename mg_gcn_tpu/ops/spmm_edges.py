@@ -894,11 +894,11 @@ def _edge_t_kernel(
     s = pl.program_id(0)
     tm = tmeta_ref[s]
 
-    @pl.when((tm >> 1) & 1 == 1)
+    @pl.when(((tm >> 1) & 1) == 1)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    @pl.when(tm & 1 == 0)  # real step (not a zero-init dummy)
+    @pl.when((tm & 1) == 0)  # real step (not a zero-init dummy)
     def _():
         prec = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else None
         chirow = s0_ref[s] % 8  # chi blocks ship 8 original steps per fetch

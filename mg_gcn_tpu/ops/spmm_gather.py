@@ -608,7 +608,7 @@ def _gather_kernel(
         # scalar read; the next step's `first` flag marks this one as last)
         nxt = meta_ref[jnp.minimum(s + 1, n_steps - 1)]
         is_last = jnp.logical_or(
-            s == n_steps - 1, (nxt >> LIVE_BITS) & 1 == 1
+            s == n_steps - 1, ((nxt >> LIVE_BITS) & 1) == 1
         )
 
         @pl.when(is_last)

@@ -226,12 +226,16 @@ class DistHaloMat:
         """Per-process build straight from a PIGO-CSR ``graph.bin``: each
         process mmap-reads ONLY its row slabs (multi-host papers100M
         loading; pair with ``multihost.load_row_sharded`` for features)."""
-        from ..formats import read_pigo_csr_slab
+        from ..formats import PIGO_MAGIC, _index_dtype, read_pigo_csr_slab
 
         header = np.memmap(path, dtype=np.uint8, mode="r")
-        off = 11 + 2  # magic + widths
-        vwidth = int(header[11])
-        vdt = np.uint32 if vwidth == 4 else np.uint64
+        if header[: len(PIGO_MAGIC)].tobytes() != PIGO_MAGIC:
+            raise ValueError(
+                f"{path}: bad magic "
+                f"{header[: len(PIGO_MAGIC)].tobytes()!r}, expected {PIGO_MAGIC!r}"
+            )
+        off = len(PIGO_MAGIC) + 2  # magic + (vwidth, ewidth) bytes
+        vdt = _index_dtype(int(header[len(PIGO_MAGIC)]))  # validates width
         n = int(np.frombuffer(header[off : off + np.dtype(vdt).itemsize], vdt)[0])
         if n % parts:
             raise ValueError(f"n ({n}) not divisible by parts ({parts})")

@@ -34,7 +34,14 @@ def _gather_feasible(n_out: int, n_in: int, nnz: int) -> bool:
     (SMEM step budget + packed-meta bit budget)."""
     from .ops import spmm_gather
 
-    n_st = -(-max(n_out, 1) // spmm_gather.R_ROWS)
+    # mirror the builder's super-tile auto-pick (gather_schedule_host):
+    # big graphs build with R_ROWS_BIG, so estimate with the same height
+    r_rows = (
+        spmm_gather.R_ROWS_BIG
+        if n_out > spmm_gather.R_BIG_THRESHOLD
+        else spmm_gather.R_ROWS
+    )
+    n_st = -(-max(n_out, 1) // r_rows)
     n_win = -(-max(n_in, 1) // spmm_gather.W_ROWS)
     # conservative: actual S <= nnz/E_BLK + groups (<= n_st*n_win) +
     # dummy/pad steps (<= n_st + 8)

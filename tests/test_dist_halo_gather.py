@@ -11,8 +11,10 @@ from mg_gcn_tpu.models.gcn import GCNConfig, init_params
 from mg_gcn_tpu.nn import adam
 from mg_gcn_tpu.parallel import dist, dist_halo
 
-# compile-heavy interpret-mode tests: nightly-style full suite only
-pytestmark = pytest.mark.slow
+# The structure/gate checks and the GCN parity case stay in the fast suite
+# as the halo_gather subsystem's smoke coverage (ADVICE r4: CI must keep at
+# least one cheap parity test per subsystem un-marked); the SAGE and hybrid-
+# scatter variants are compile-heavy interpret-mode and run nightly-style.
 
 
 @pytest.fixture(scope="module")
@@ -68,6 +70,7 @@ def test_halo_gather_gcn_matches_xla_engine(problem, parity):
             )
 
 
+@pytest.mark.slow
 def test_halo_gather_sage_matches_xla_engine(problem):
     parts, n, g, x, y, a, a_t, mesh, _, _ = problem
     from mg_gcn_tpu.models.sage import SAGEConfig, init_params as sage_init
@@ -116,6 +119,7 @@ def test_halo_engine_gate(monkeypatch):
     assert train_mod.halo_engine(G(100_000, 50_000_000), 4) == "xla"
 
 
+@pytest.mark.slow
 def test_halo_gather_hybrid_scatter_matches(problem, monkeypatch):
     """Force the thin-group scatter split (papers100M-geometry behavior,
     where the diagonal block's group count exceeds the step cap) and check

@@ -35,6 +35,20 @@ import time
 
 import numpy as np
 
+# persistent XLA compilation cache (the CLI's _enable_compile_cache
+# convention): first compiles at products/headline scale cost tens of
+# seconds through the remote AOT service; across bench runs they are
+# byte-identical and should be cache hits. Must be set before jax imports.
+if not os.environ.get("MG_GCN_NO_COMPILE_CACHE"):
+    _cc = os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "mg_gcn_tpu", "jax"),
+    )
+    try:
+        os.makedirs(_cc, exist_ok=True)
+    except OSError:
+        pass
+
 N = 232_968
 AVG_DEG = 493  # -> ~115M edges, matching Reddit's nnz=114,848,860
 FEATURES = 608
@@ -669,17 +683,27 @@ def main() -> None:
             popt = adam.adam_init(pparams)
             # bf16 window streaming for the training step: the gather
             # kernel at this scale is HBM-bound on operand re-streaming
-            # (PERF.md round 4); scoped to this trace — pagerank below
-            # keeps the exact-f32 walk (its eps stopping rule needs it)
-            os.environ["MG_GCN_GATHER_STREAM_BF16"] = "1"
-            try:
-                pstep = make_train_step(pconfig)
-                p_epoch_s, plosses, paccs = run_epochs(
-                    pstep, pparams, popt, ppair, "products 3x256",
-                    epochs=3, xy=(px, py),
+            # (PERF.md round 4). A MATRIX property (ADVICE r4 #5: the old
+            # env var was read at trace time — a retrace after the pop
+            # silently reverted to exact f32) — pagerank below uses the
+            # original exact-f32 mats (its eps stopping rule needs them)
+            from dataclasses import replace as _dc_replace
+
+            from mg_gcn_tpu.ops.spmm import AggPair as _AP2
+            from mg_gcn_tpu.ops.spmm_gather import GatherMat as _GM
+
+            if isinstance(ppair.fwd, _GM):
+                ppair_bf16 = _AP2(
+                    _dc_replace(ppair.fwd, stream_bf16=True),
+                    _dc_replace(ppair.bwd, stream_bf16=True),
                 )
-            finally:
-                os.environ.pop("MG_GCN_GATHER_STREAM_BF16", None)
+            else:  # smoke/CPU fallback pairs have no streaming mode
+                ppair_bf16 = ppair
+            pstep = make_train_step(pconfig)
+            p_epoch_s, plosses, paccs = run_epochs(
+                pstep, pparams, popt, ppair_bf16, "products 3x256",
+                epochs=3, xy=(px, py),
+            )
             out_health.update(health("products", plosses, paccs))
             products_meta = dict(
                 products_epoch_seconds=p_epoch_s,
@@ -818,11 +842,28 @@ def main() -> None:
                 hsched = _sched_host(graph, dtype="bfloat16")
                 np.savez(gspath, **{k: np.asarray(v) for k, v in hsched.items() if v is not None})
             hmat = _mat_from_host(hsched)
-            hgraph = (hmat, transposed_schedule(hmat))
+            # the cap is arithmetic, recorded BEFORE any attempt (VERDICT
+            # r4 weak #6): the transposed schedule carries 2 prefetch words
+            # per step; when over MAX_STEPS it auto-splits into column-
+            # window range parts (one kernel call each)
+            from mg_gcn_tpu.ops.spmm_edges import transposed_step_words
+
+            t_words = transposed_step_words(
+                np.asarray(hmat.meta), hmat.tcw_bits, hmat.n_in_pad
+            )
+            htsched = transposed_schedule(hmat, auto_split=True)
+            t_parts = len(htsched) if isinstance(htsched, tuple) else 1
+            hgraph = (hmat, htsched)
+            gat_meta.update(
+                gat_headline_steps=int(hmat.num_steps),
+                gat_headline_t_words=int(t_words),
+                gat_headline_step_cap=int(MAX_STEPS),
+                gat_headline_t_parts=t_parts,
+            )
             print(
                 f"gat headline schedule in {time.time()-t0:.1f}s "
-                f"(S={hmat.num_steps} of cap {MAX_STEPS}, br={hmat.br}, "
-                f"fill={hmat.fill:.2f})",
+                f"(S={hmat.num_steps}, t_words={t_words} of cap {MAX_STEPS} "
+                f"-> {t_parts} part(s), br={hmat.br}, fill={hmat.fill:.2f})",
                 file=sys.stderr,
             )
             hconfig = gat_mod.GATConfig(sizes=(64, 64, CLASSES), heads=2)
@@ -856,17 +897,14 @@ def main() -> None:
             gat_meta.update(
                 gat_headline_epoch_seconds=float(np.median(htimes[1:])),
                 gat_headline_nnz=nnz,
-                gat_headline_steps=int(hmat.num_steps),
-                gat_headline_step_cap=int(MAX_STEPS),
             )
             hmat = hgraph = hsched = hx = hparams = hopt = None  # noqa: F841
             gc.collect()
         except Exception as exc:
-            # the cap proof is part of the record: at Reddit scale the
-            # TRANSPOSED attention schedule needs 2 x S prefetch words
-            # (~330k at br=512) against the ~1 MB SMEM budget (220k) —
-            # attention at this scale is the distributed pipeline's job
-            # (parallel/dist_gat.py shards the schedule per device)
+            # unexpected failure (the SMEM cap no longer skips this
+            # section: over-cap transposed schedules auto-split into
+            # column-window parts and run; the cap fields above record the
+            # arithmetic either way)
             gat_meta["gat_headline_skipped"] = str(exc)[:200]
             print(f"gat headline aux skipped: {exc}", file=sys.stderr)
 

@@ -35,7 +35,7 @@ import sys
 import numpy as np
 
 from .. import sparse as host_sparse
-from ..formats import CSRData, Dataset, read_pigo_csr
+from ..formats import CSRData, Dataset, ensure_pigo_transpose, read_pigo_csr
 
 TOYA = dict(
     graph=[[0, 1, 0, 1], [1, 0, 1, 0], [0, 1, 0, 1], [1, 0, 1, 0]],
@@ -144,6 +144,10 @@ def make_synthetic(
     else:
         path = os.path.join(out_dir, name)
     ds.save(path)
+    # the transposed orientation multihost slab builds read
+    # (dist_halo.DistHaloPair.from_pigo); toys skip it for byte-parity
+    # with the reference directory layout
+    ensure_pigo_transpose(path)
     return path
 
 
@@ -182,6 +186,7 @@ def make_dgl(name: str, out_dir: str, P: int = 8, perm_seed: int = 0) -> str:
     else:
         path = os.path.join(out_dir, name)
     ds.save(path)
+    ensure_pigo_transpose(path)
     return path
 
 
@@ -210,6 +215,7 @@ def _make_ogb(name, out_dir, P, perm_seed):
     else:
         path = os.path.join(out_dir, name)
     ds.save(path)
+    ensure_pigo_transpose(path)
     return path
 
 

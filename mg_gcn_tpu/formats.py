@@ -172,6 +172,66 @@ def read_pigo_csr_slab(path: str | os.PathLike, r0: int, r1: int) -> CSRData:
     )
 
 
+def read_pigo_nrows(path: str | os.PathLike) -> int:
+    """Row count from a PIGO-CSR header (magic-validated, no data read)."""
+    with open(path, "rb") as f:
+        head = f.read(len(PIGO_MAGIC) + 2 + 8)
+    if head[: len(PIGO_MAGIC)] != PIGO_MAGIC:
+        raise ValueError(
+            f"{path}: bad magic {head[: len(PIGO_MAGIC)]!r}, expected {PIGO_MAGIC!r}"
+        )
+    vdt = _index_dtype(head[len(PIGO_MAGIC)])
+    off = len(PIGO_MAGIC) + 2
+    return int(np.frombuffer(head[off : off + np.dtype(vdt).itemsize], vdt)[0])
+
+
+def read_pigo_row_sums(path: str | os.PathLike, chunk_rows: int = 1 << 22) -> np.ndarray:
+    """Per-row value sums (f64[n]) of a PIGO-CSR file, streamed row-chunk by
+    row-chunk via mmap — never holds the full edge data in RAM.
+
+    Applied to the TRANSPOSED ``graph_t.bin`` this yields the COLUMN sums of
+    the original adjacency in float64 — the same accumulation dtype as
+    ``sparse.normalize(axis=True)``'s ``np.add.at`` pass — which is the GCN
+    in-degree normalization diagonal the per-process slab builds need
+    without ever loading the full graph (matrix.hpp:340-390 semantics)."""
+    mm = np.memmap(path, dtype=np.uint8, mode="r")
+    magic = mm[: len(PIGO_MAGIC)].tobytes()
+    if magic != PIGO_MAGIC:
+        raise ValueError(f"{path}: bad magic {magic!r}, expected {PIGO_MAGIC!r}")
+    off = len(PIGO_MAGIC)
+    vdt, edt = _index_dtype(int(mm[off])), _index_dtype(int(mm[off + 1]))
+    off += 2
+    vsz, esz = np.dtype(vdt).itemsize, np.dtype(edt).itemsize
+    n = int(np.frombuffer(mm[off : off + vsz], vdt)[0])
+    nnz = int(np.frombuffer(mm[off + vsz : off + vsz + esz], edt)[0])
+    ip_off = off + 3 * vsz + esz  # past n, nnz, nrows, ncols
+    dat_off = ip_off + vsz * (n + 1) + esz * nnz
+    out = np.zeros(n, np.float64)
+    for r0 in range(0, n, chunk_rows):
+        r1 = min(r0 + chunk_rows, n)
+        ptr = np.array(
+            mm[ip_off + vsz * r0 : ip_off + vsz * (r1 + 1)].view(vdt),
+            dtype=np.int64,
+        )
+        e0, e1 = int(ptr[0]), int(ptr[-1])
+        if e1 == e0:
+            continue
+        # sentinel 0 keeps trailing-empty-row starts legal for reduceat
+        # without clamping (the sparse.normalize convention)
+        data = np.concatenate(
+            [
+                mm[dat_off + 4 * e0 : dat_off + 4 * e1]
+                .view(np.float32)
+                .astype(np.float64),
+                [0.0],
+            ]
+        )
+        sums = np.add.reduceat(data, ptr[:-1] - e0)
+        counts = np.diff(ptr)
+        out[r0:r1] = np.where(counts > 0, sums, 0.0)
+    return out
+
+
 def write_pigo_csr(path: str | os.PathLike, csr: CSRData) -> None:
     """Write PIGO-CSR-v2, byte-compatible with the reference prep.py:46-62.
 
@@ -249,6 +309,61 @@ def write_dense(path: str | os.PathLike, arr: np.ndarray, dtype=None) -> None:
         arr.tofile(f)
 
 
+@dataclass(frozen=True)
+class GraphHeader:
+    """Shape-only stand-in for a graph that stays ON DISK: the multi-host
+    slab path (``Dataset.load(..., graph_mode="header")``) never
+    materializes the full CSR on any process — builders read row slabs of
+    ``path`` (and its transposed twin) directly
+    (``parallel.dist_halo.DistHaloPair.from_pigo``)."""
+
+    nrows: int
+    ncols: int
+    nnz: int
+    path: str
+
+
+def read_pigo_header(path: str | os.PathLike) -> GraphHeader:
+    """(nrows, ncols, nnz) from a PIGO-CSR header without reading edges."""
+    with open(path, "rb") as f:
+        head = f.read(len(PIGO_MAGIC) + 2 + 4 * 8)
+    if head[: len(PIGO_MAGIC)] != PIGO_MAGIC:
+        raise ValueError(
+            f"{path}: bad magic {head[: len(PIGO_MAGIC)]!r}, expected {PIGO_MAGIC!r}"
+        )
+    vdt = _index_dtype(head[len(PIGO_MAGIC)])
+    edt = _index_dtype(head[len(PIGO_MAGIC) + 1])
+    vsz, esz = np.dtype(vdt).itemsize, np.dtype(edt).itemsize
+    off = len(PIGO_MAGIC) + 2
+    take = lambda dt, sz, at: int(np.frombuffer(head[at : at + sz], dt)[0])
+    nnz = take(edt, esz, off + vsz)
+    nrows = take(vdt, vsz, off + vsz + esz)
+    ncols = take(vdt, vsz, off + 2 * vsz + esz)
+    return GraphHeader(nrows=nrows, ncols=ncols, nnz=nnz, path=os.fspath(path))
+
+
+def ensure_pigo_transpose(directory: str | os.PathLike) -> str:
+    """Write-once ``graph_t.bin`` next to ``graph.bin``: the transposed
+    orientation the per-process slab builds read
+    (``DistHaloPair.from_pigo``). Built by one full in-memory transpose
+    when absent — a one-time prep cost (prep writes it at dataset-creation
+    time for new datasets); written atomically so concurrent readers never
+    see a partial file. Multi-process callers should run this on process 0
+    only, behind a barrier."""
+    d = os.fspath(directory)
+    gpath = os.path.join(d, "graph.bin")
+    tpath = os.path.join(d, "graph_t.bin")
+    if os.path.exists(tpath):
+        return tpath
+    from . import sparse as host_sparse  # deferred: sparse imports formats
+
+    g_t = host_sparse.transpose(read_pigo_csr(gpath))
+    tmp = tpath + ".tmp"
+    write_pigo_csr(tmp, g_t)
+    os.replace(tmp, tpath)
+    return tpath
+
+
 @dataclass
 class Dataset:
     """A training dataset directory: graph + features + labels + set masks.
@@ -258,7 +373,7 @@ class Dataset:
     (int32 column), ``sets.bin`` (int32 column; 0=train, 1=val, 2=test).
     """
 
-    graph: CSRData
+    graph: "CSRData | GraphHeader"
     features: np.ndarray
     labels: np.ndarray
     sets: np.ndarray
@@ -277,10 +392,26 @@ class Dataset:
         return int(1 + self.labels.max())
 
     @staticmethod
-    def load(directory: str | os.PathLike, mmap_features: bool = False) -> "Dataset":
+    def load(
+        directory: str | os.PathLike,
+        mmap_features: bool = False,
+        graph_mode: str = "full",
+    ) -> "Dataset":
+        """``graph_mode="header"`` keeps the graph on disk (a
+        :class:`GraphHeader` carrying shapes + the file path) — the
+        multi-host slab path, where each process later reads only its own
+        row slabs (``DistHaloPair.from_pigo``) instead of every process
+        parsing the full ``graph.bin``."""
         d = os.fspath(directory)
+        gpath = os.path.join(d, "graph.bin")
+        if graph_mode not in ("full", "header"):
+            raise ValueError(f"unknown graph_mode {graph_mode!r}")
         return Dataset(
-            graph=read_pigo_csr(os.path.join(d, "graph.bin")),
+            graph=(
+                read_pigo_csr(gpath)
+                if graph_mode == "full"
+                else read_pigo_header(gpath)
+            ),
             features=read_dense(
                 os.path.join(d, "features.bin"), np.float32, mmap=mmap_features
             ),

@@ -48,7 +48,10 @@ def build_attention_graph(csr, dtype: str = "bfloat16", **kw):
     from .spmm_edges import edge_tile_mat_from_csr
 
     m = edge_tile_mat_from_csr(csr, dtype=dtype, **kw)
-    return m, transposed_schedule(m)
+    # auto_split: at headline scale the single-call transposed schedule
+    # exceeds the per-call SMEM prefetch budget; a tuple of column-window
+    # range parts runs as one kernel call each (spmm_edge_tiles_t)
+    return m, transposed_schedule(m, auto_split=True)
 
 
 def valid_mask(mat: EdgeTileMat) -> jax.Array:

@@ -50,6 +50,66 @@ from .spmm_pattern import round_up
 from .spmm_edges import BC, CPS, IDX_MASK, K, RL_MASK, EdgeTileMat, interpret_default
 
 
+def _sddmm_kernel_qskip(
+    meta_ref, qr_ref, chi_ref, idx_ref, a_ref, b_ref, g_ref, out_ref, *, br, cdtype
+):
+    """q-range row select (round-5): slots are CSR-row-sorted within each
+    sub-tile, so a chunk's live sub-blocks span a contiguous [q0, q1] —
+    fed per chunk from SMEM (``qr``, packed q0 | q1<<8, precomputed from
+    the idx words) and walked with a ``fori_loop(q0, q1+1)``. This is the
+    static-trip-skip lever PERF.md round 4 named: the round-4 6.7× failure
+    came from computing the bounds with in-kernel vector reduces (a
+    vector→scalar sync per chunk), NOT from the dynamic trip count itself —
+    with SMEM-fed bounds the loop body is one dynamic-offset selection
+    matmul, and dead sub-blocks are never touched. Empty chunks have
+    q0=127 > q1=0, so the loop body never runs and the (1, K) output row
+    still writes zeros (ar starts at 0)."""
+    s = pl.program_id(0)
+    prec = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else None
+    int8 = cdtype == jnp.int8
+    acc_t = jnp.int32 if int8 else jnp.float32
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (BC, K), 0)
+    g_col = g_ref[:, 0:1]
+    d_pad = a_ref.shape[1]
+
+    for c in range(CPS):
+        vraw = idx_ref[c : c + 1, :]
+        v = vraw & IDX_MASK
+        rl = (v >> 7) & RL_MASK
+        cl = v & (BC - 1)
+        valid = (vraw >> 30) & 1
+        bsub = b_ref[pl.ds(chi_ref[s % 8, c] * BC, BC), :]
+        if bsub.dtype != cdtype:
+            bsub = bsub.astype(cdtype)
+        hg = (iota_l == cl).astype(cdtype)
+        bc = jax.lax.dot_general(
+            bsub, hg, (((0,), (0,)), ((), ())),
+            preferred_element_type=acc_t, precision=prec,
+        )
+        m_adj = jnp.where(valid != 0, rl & (BC - 1), 2 * BC)
+        qv = rl >> 7
+        sel = (iota_l == m_adj).astype(cdtype)
+        qw = qr_ref[s % 8, c]
+        q0 = qw & 0xFF
+        q1 = (qw >> 8) & 0xFF
+
+        def qbody(qq, ar):
+            mq = (qv == qq).astype(cdtype)
+            a_sub = a_ref[pl.ds(qq * BC, BC), :]
+            if a_sub.dtype != cdtype:
+                a_sub = a_sub.astype(cdtype)
+            return ar + jax.lax.dot_general(
+                a_sub, sel * mq, (((0,), (0,)), ((), ())),
+                preferred_element_type=acc_t, precision=prec,
+            )
+
+        ar = jax.lax.fori_loop(
+            q0, q1 + 1, qbody, jnp.zeros((d_pad, K), acc_t)
+        )
+        prod = (ar * bc).astype(jnp.float32) * g_col
+        out_ref[c : c + 1, :] = jnp.sum(prod, axis=0, keepdims=True)
+
+
 def _sddmm_kernel(meta_ref, chi_ref, idx_ref, a_ref, b_ref, g_ref, out_ref, *, br, cdtype):
     """Selections are computed (d, K)-oriented so each chunk's scores land
     as a (1, K) ROW of the (CPS, K) output block: the emitted array is the
@@ -120,7 +180,24 @@ def _sddmm_kernel(meta_ref, chi_ref, idx_ref, a_ref, b_ref, g_ref, out_ref, *, b
         out_ref[c : c + 1, :] = jnp.sum(prod, axis=0, keepdims=True)
 
 
-def sddmm_edge_tiles(mat: EdgeTileMat, a: jax.Array, b: jax.Array) -> jax.Array:
+def _chunk_q_ranges(mat: EdgeTileMat) -> jax.Array:
+    """Per-chunk live sub-block range (q0 | q1<<8, i32[S, CPS]) from the
+    idx words — device-side, O(slots) vectorized, fused by XLA into the
+    reduces (no (S, CPS, K) i32 temporaries in HBM). Empty chunks get
+    q0=127 > q1=0 so the q-loop body never runs."""
+    S = mat.num_steps
+    idx3 = mat.idx.reshape(S, CPS, K)
+    v = idx3 & IDX_MASK
+    qv = ((v >> 7) & RL_MASK) >> 7
+    valid = (idx3 >> 30) & 1
+    q0 = jnp.min(jnp.where(valid == 1, qv, 127), axis=2)
+    q1 = jnp.max(jnp.where(valid == 1, qv, 0), axis=2)
+    return (q0 | (q1 << 8)).astype(jnp.int32)
+
+
+def sddmm_edge_tiles(
+    mat: EdgeTileMat, a: jax.Array, b: jax.Array, qskip: bool | None = None
+) -> jax.Array:
     """Per-slot edge scores ``<A[row_e], B[col_e]>`` for the edges of
     ``mat`` (structure/schedule only; ``mat.w`` is not read). Returns an
     f32 array shaped like ``mat.w`` — feed it (or any slotwise transform)
@@ -173,31 +250,50 @@ def sddmm_edge_tiles(mat: EdgeTileMat, a: jax.Array, b: jax.Array) -> jax.Array:
     tcw_mask = (1 << tcw_bits) - 1
     from .spmm_edges import BCW
 
+    if qskip is None:
+        # the q-range walk needs >1 sub-block to skip and the two-level
+        # layout (br a multiple of BC)
+        qskip = br >= 2 * BC and br % BC == 0
+    in_specs = [
+        pl.BlockSpec((8, CPS), lambda s, meta: (s // 8, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((CPS, K), lambda s, meta: (s, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (br, d_pad),
+            lambda s, meta: (meta[s] >> (tcw_bits + 1), 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (BCW, d_pad),
+            lambda s, meta: ((meta[s] >> 1) & tcw_mask, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((d_pad, 8), lambda s, meta: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [mat.chi, mat.idx, a_pad, b_pad, g]
+    if qskip:
+        # per-chunk [q0, q1] sub-block ranges ride a second SMEM-blocked
+        # input ahead of chi
+        in_specs.insert(
+            0,
+            pl.BlockSpec(
+                (8, CPS), lambda s, meta: (s // 8, 0), memory_space=pltpu.SMEM
+            ),
+        )
+        operands.insert(0, _chunk_q_ranges(mat))
+        kernel = functools.partial(_sddmm_kernel_qskip, br=br, cdtype=cdtype)
+    else:
+        kernel = functools.partial(_sddmm_kernel, br=br, cdtype=cdtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(S,),
-        in_specs=[
-            pl.BlockSpec((8, CPS), lambda s, meta: (s // 8, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((CPS, K), lambda s, meta: (s, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (br, d_pad),
-                lambda s, meta: (meta[s] >> (tcw_bits + 1), 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (BCW, d_pad),
-                lambda s, meta: ((meta[s] >> 1) & tcw_mask, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((d_pad, 8), lambda s, meta: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (CPS, K), lambda s, meta: (s, 0), memory_space=pltpu.VMEM
         ),
     )
     itemsize = 1 if cdtype == jnp.int8 else 2
     out = pl.pallas_call(
-        functools.partial(_sddmm_kernel, br=br, cdtype=cdtype),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((S * CPS, K), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -209,6 +305,6 @@ def sddmm_edge_tiles(mat: EdgeTileMat, a: jax.Array, b: jax.Array) -> jax.Array:
             transcendentals=0,
         ),
         interpret=interpret_default(),
-    )(mat.meta, mat.chi, mat.idx, a_pad, b_pad, g)
+    )(mat.meta, *operands)
     # the (CPS, K) output blocks ARE the (S·CPS, K) slot layout mat.w uses
     return out

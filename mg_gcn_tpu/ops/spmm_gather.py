@@ -108,6 +108,7 @@ SCHED_VERSION = 3
         "scale_side",
         "pairfrac",
         "r_rows",
+        "stream_bf16",
     ],
 )
 @dataclass(frozen=True)
@@ -144,6 +145,11 @@ class GatherMat:
     scale_side: str = "none"  # "none" | "pre" | "post"
     pairfrac: float = 0.0  # fraction of edges walked in pair entries (diag)
     r_rows: int = R_ROWS  # output super-tile height (R_ROWS_BIG on big graphs)
+    # bf16 operand streaming as a property of the MATRIX (set at build or
+    # via dataclasses.replace), not an env var read at trace time — a
+    # retrace after an env flip must not silently change precision
+    # (ADVICE r4 #5); the env var remains an ad-hoc probe default only.
+    stream_bf16: bool = False
 
     @property
     def num_steps(self) -> int:
@@ -714,12 +720,13 @@ def spmm_gather(
     ``stream_bf16`` rounds the operand to bf16 on the wire (HBM->VMEM) and
     casts each window back to f32 in VMEM before the serial walk — half the
     operand traffic, which is the measured bound at products scale
-    (PERF.md round 4). Default off (the engine's exact-f32 contract);
-    enable explicitly or via MG_GCN_GATHER_STREAM_BF16=1 for
-    bandwidth-bound big-graph runs where bf16 activations are acceptable.
+    (PERF.md round 4). Default: the matrix's own ``stream_bf16`` flag
+    (set at build / ``dataclasses.replace``; the engine's exact-f32
+    contract keeps it off), overridable per call. The
+    MG_GCN_GATHER_STREAM_BF16 env var only seeds ad-hoc probes.
     """
     if stream_bf16 is None:
-        stream_bf16 = STREAM_BF16()
+        stream_bf16 = mat.stream_bf16 or STREAM_BF16()
     n, d = b.shape
     if n != mat.n_in:
         raise ValueError(f"B has {n} rows, gather matrix expects {mat.n_in}")

@@ -286,14 +286,7 @@ class DistHaloMat:
         # no mesh the caller holds the full graph (from_csr) and the build
         # is local regardless of process count
         multi = jax.process_count() > 1 and mesh is not None
-        if mesh is not None:
-            owned = [
-                j
-                for j in range(parts)
-                if mesh.devices.flat[j].process_index == jax.process_index()
-            ]
-        else:
-            owned = list(range(parts))
+        owned = _owned_shards(mesh, parts)
 
         loc = {}
         compact = {}
@@ -313,16 +306,7 @@ class DistHaloMat:
             + [my_nnz, sum(int(recv[j][s].size) for j in owned for s in range(S))],
             dtype=np.int64,
         )
-        if multi:
-            from jax.experimental import multihost_utils
-
-            gathered = np.asarray(multihost_utils.process_allgather(sizes))
-            total_nnz = int(gathered[:, -2].sum())
-            h_total = int(gathered[:, -1].sum())
-            sizes = gathered.max(axis=0)
-        else:
-            total_nnz = my_nnz
-            h_total = int(sizes[-1])
+        sizes, total_nnz, h_total = _allgather_reduce(sizes, multi)
         e_loc = _round_up(int(sizes[0]), pad_to)
         pad_unit = min(pad_to, 128)
         e_rem_s = tuple(_round_up(int(sizes[1 + s]), pad_to) for s in range(S))
@@ -332,23 +316,7 @@ class DistHaloMat:
         if nnz is not None:
             total_nnz = nnz
 
-        sharding = (
-            NamedSharding(mesh, P(GRAPH_AXIS)) if mesh is not None else None
-        )
-
-        def materialize(shape, fill_row, dtype):
-            """(parts, E) array; shard j's row produced by fill_row(j)."""
-            if multi:
-                def cb(idx):
-                    js = range(*idx[0].indices(parts))
-                    return np.stack([fill_row(j) for j in js])
-
-                return jax.make_array_from_callback(shape, sharding, cb)
-            out = np.stack([fill_row(j) for j in range(parts)])
-            arr = jnp.asarray(out)
-            if sharding is not None:
-                arr = jax.device_put(arr, sharding)
-            return arr
+        materialize, sharding = _row_materializer(parts, mesh, multi)
 
         def pad_row(vals, e, fill, dtype):
             row = np.full(e, fill, dtype)
@@ -431,6 +399,58 @@ class DistHaloMat:
         return rows * d * itemsize
 
 
+def _owned_shards(mesh: Mesh | None, parts: int) -> list[int]:
+    """The shard rows this process's devices own (all of them when no mesh:
+    the single-host build materializes every row)."""
+    if mesh is None:
+        return list(range(parts))
+    return [
+        j
+        for j in range(parts)
+        if mesh.devices.flat[j].process_index == jax.process_index()
+    ]
+
+
+def _row_materializer(parts: int, mesh: Mesh | None, multi: bool):
+    """Returns materialize(shape, fill_row, dtype) building a (parts, ...)
+    array whose shard-j row comes from fill_row(j) — via
+    ``jax.make_array_from_callback`` in multi-process runs (each host only
+    produces the rows its devices own; no host holds remote slabs)."""
+    sharding = NamedSharding(mesh, P(GRAPH_AXIS)) if mesh is not None else None
+
+    def materialize(shape, fill_row, dtype):
+        if multi:
+
+            def cb(idx):
+                js = range(*idx[0].indices(parts))
+                return np.stack([fill_row(j) for j in js])
+
+            return jax.make_array_from_callback(shape, sharding, cb)
+        out = np.stack([fill_row(j) for j in range(parts)])
+        arr = jnp.asarray(out)
+        if sharding is not None:
+            arr = jax.device_put(arr, sharding)
+        return arr
+
+    return materialize, sharding
+
+
+def _allgather_reduce(sizes: np.ndarray, multi: bool):
+    """max-reduce a per-process int64 size vector across processes; the last
+    two entries (nnz, halo-total contributions) are SUM-reduced. Identity
+    when single-process."""
+    if not multi:
+        return sizes, int(sizes[-2]), int(sizes[-1])
+    from jax.experimental import multihost_utils
+
+    gathered = np.asarray(multihost_utils.process_allgather(sizes))
+    return (
+        gathered.max(axis=0),
+        int(gathered[:, -2].sum()),
+        int(gathered[:, -1].sum()),
+    )
+
+
 def _coo_to_csr(rows: np.ndarray, cols: np.ndarray, vals, n_rows: int, n_cols: int):
     """Block COO (rows ascending — the slab pass emits CSR order) → CSRData."""
     indptr = np.zeros(n_rows + 1, np.int64)
@@ -504,96 +524,213 @@ class DistHaloGatherMat:
 
     @staticmethod
     def from_csr(csr: CSRData, parts: int, pad_to: int = 512) -> "DistHaloGatherMat":
-        from ..ops import spmm_gather as sg
-
+        """Single-host build from the full in-memory CSR: slabs sliced from
+        the shared indptr (zero copies), routed through :meth:`from_slabs`."""
         n = csr.nrows
         if n % parts:
             raise ValueError(
                 f"n ({n}) must be divisible by the mesh size ({parts})"
             )
         m_loc = n // parts
-        S = max(parts - 1, 0)
-        loc_blocks, compact, halos, _, h_total = _partition_halo_blocks(csr, parts)
-        pad_unit = min(pad_to, 128)
-        widths = tuple(
-            _round_up(max(halos[j][s].size for j in range(parts)), pad_unit)
-            for s in range(S)
-        )
+        indptr = csr.indptr
 
-        def stacked_scheds(make_block):
-            """Uniform-step gather schedules for one round across devices,
-            built ONE block at a time into preallocated stacks — at
-            papers100M scale holding all P blocks' CSRs + schedules at once
-            was the OOM (113 GB RSS at n=1.11e8, P=16)."""
-            scheds = []
-            for j in range(parts):
-                b = make_block(j)
-                scheds.append(
+        def slab_of(j: int) -> CSRData:
+            r0, r1 = j * m_loc, (j + 1) * m_loc
+            e0, e1 = int(indptr[r0]), int(indptr[r1])
+            return CSRData(
+                indptr=indptr[r0 : r1 + 1] - e0,
+                indices=csr.indices[e0:e1],
+                data=csr.data[e0:e1],
+                shape=(m_loc, csr.ncols),
+            )
+
+        return DistHaloGatherMat.from_slabs(slab_of, n, parts, pad_to=pad_to)
+
+    @staticmethod
+    def from_slabs(
+        slab_of,
+        n: int,
+        parts: int,
+        pad_to: int = 512,
+        mesh: Mesh | None = None,
+        nnz: int | None = None,
+    ) -> "DistHaloGatherMat":
+        """Per-process slab build of the serial-gather halo engine — the
+        papers100M production path (VERDICT r4 #2a): each process calls
+        ``slab_of(j)`` ONLY for the shard rows its devices own, builds that
+        slab's diagonal/remote gather schedules and halo lists, and the
+        (P, ·) stacks are materialized shard-by-shard via
+        ``jax.make_array_from_callback``. Two small host allgathers align
+        the padded shapes across processes: (1) halo widths / scatter sizes
+        / diagonal step counts, (2) per-round remote step counts (remote
+        schedules need the GLOBAL round width for their window geometry, so
+        they build after allgather 1). Single-process this is bit-identical
+        to the former monolithic ``from_csr`` build (ownership semantics of
+        ``dist_matrix.hpp:215-259``)."""
+        from ..ops import spmm_gather as sg
+
+        if n % parts:
+            raise ValueError(
+                f"n ({n}) must be divisible by the mesh size ({parts})"
+            )
+        m_loc = n // parts
+        S = max(parts - 1, 0)
+        multi = jax.process_count() > 1 and mesh is not None
+        owned = _owned_shards(mesh, parts)
+
+        loc_sched = {}
+        sc = {}
+        compact = {}
+        recv = {}
+        my_nnz = 0
+        for j in owned:
+            slab = slab_of(j)
+            my_nnz += slab.nnz
+            lb, compact[j], recv[j] = halo_slab_blocks(slab, j, parts)
+            del slab
+            # hybrid split of the diagonal block (see class docstring)
+            (rows, cols, vals), sc[j] = _split_scatter(*lb, m_loc)
+            loc_sched[j] = sg.gather_schedule_host(
+                _coo_to_csr(rows, cols, vals, m_loc, m_loc),
+                binary=False,
+                r_rows=sg.R_ROWS,
+            )
+            del rows, cols, vals
+
+        # allgather 1: diagonal step counts, scatter sizes, halo widths
+        sizes = np.array(
+            [max((loc_sched[j]["meta"].shape[0] for j in owned), default=8)]
+            + [max((sc[j][0].size for j in owned), default=0)]
+            + [
+                max((recv[j][s].size for j in owned), default=0)
+                for s in range(S)
+            ]
+            + [my_nnz, sum(int(recv[j][s].size) for j in owned for s in range(S))],
+            dtype=np.int64,
+        )
+        sizes, total_nnz, h_total = _allgather_reduce(sizes, multi)
+        if nnz is not None:
+            total_nnz = nnz
+        pad_unit = min(pad_to, 128)
+        S_loc = int(sizes[0])
+        e_sc = _round_up(max(int(sizes[1]), 1), pad_unit)
+        widths = tuple(_round_up(int(sizes[2 + s]), pad_unit) for s in range(S))
+
+        # remote schedules build against the GLOBAL round widths (window
+        # geometry/meta bit packing must agree across shards)
+        rem_scheds = {j: [] for j in owned}
+        for j in owned:
+            for s in range(S):
+                b = _coo_to_csr(*compact[j][s], m_loc, widths[s])
+                compact[j][s] = None
+                rem_scheds[j].append(
                     sg.gather_schedule_host(b, binary=False, r_rows=sg.R_ROWS)
                 )
                 del b
-            S_max = max(o["meta"].shape[0] for o in scheds)
-            idx = np.zeros((parts, S_max, sg.E_BLK), np.int32)
-            w = np.zeros((parts, S_max, sg.E_BLK), np.float32)
-            meta = np.zeros((parts, S_max), np.int32)
-            meta2 = np.zeros((parts, S_max), np.int32)
-            for j in range(parts):
-                o = sg.pad_schedule_steps(scheds[j], S_max)
-                scheds[j] = None
-                idx[j] = o["idx"]
-                w[j] = o["w"]
-                meta[j] = o["meta"]
-                meta2[j] = o["meta2"]
-                del o
-            return jnp.asarray(idx), jnp.asarray(w), jnp.asarray(meta), jnp.asarray(meta2)
 
-        # hybrid split of the diagonal block (see class docstring)
-        scatters = []
-        loc_csrs = []
-        for j in range(parts):
-            rows, cols, vals = loc_blocks[j]
-            (rows, cols, vals), sc = _split_scatter(rows, cols, vals, m_loc)
-            scatters.append(sc)
-            loc_csrs.append(_coo_to_csr(rows, cols, vals, m_loc, m_loc))
-            loc_blocks[j] = None
-        e_sc = _round_up(max(max(sc[0].size for sc in scatters), 1), pad_unit)
-        sc_rows = np.full((parts, e_sc), m_loc - 1, np.int32)
-        sc_cols = np.zeros((parts, e_sc), np.int32)
-        sc_vals = np.zeros((parts, e_sc), np.float32)
-        for j, (r, c, v) in enumerate(scatters):
-            sc_rows[j, : r.size] = r
-            sc_cols[j, : c.size] = c
-            sc_vals[j, : v.size] = v
-        del scatters
+        # allgather 2: per-round remote step counts (+ zero-pads so the
+        # reduce helper's nnz/h_total slots stay inert)
+        sizes2 = np.array(
+            [
+                max((rem_scheds[j][s]["meta"].shape[0] for j in owned), default=8)
+                for s in range(S)
+            ]
+            + [0, 0],
+            dtype=np.int64,
+        )
+        sizes2, _, _ = _allgather_reduce(sizes2, multi)
+        S_rem = tuple(int(sizes2[s]) for s in range(S))
 
-        def take_loc(j):
-            b = loc_csrs[j]
-            loc_csrs[j] = None
-            return b
+        for j in owned:
+            loc_sched[j] = sg.pad_schedule_steps(loc_sched[j], S_loc)
+            rem_scheds[j] = [
+                sg.pad_schedule_steps(rem_scheds[j][s], S_rem[s])
+                for s in range(S)
+            ]
 
-        loc_idx, loc_w, loc_meta, loc_meta2 = stacked_scheds(take_loc)
+        materialize, sharding = _row_materializer(parts, mesh, multi)
+
+        def pad_row(vals, e, fill, dtype):
+            row = np.full(e, fill, dtype)
+            row[: vals.size] = vals
+            return row
+
+        loc_idx = materialize(
+            (parts, S_loc, sg.E_BLK), lambda j: loc_sched[j]["idx"], np.int32
+        )
+        loc_w = materialize(
+            (parts, S_loc, sg.E_BLK), lambda j: loc_sched[j]["w"], np.float32
+        )
+        loc_meta = materialize(
+            (parts, S_loc), lambda j: loc_sched[j]["meta"], np.int32
+        )
+        loc_meta2 = materialize(
+            (parts, S_loc), lambda j: loc_sched[j]["meta2"], np.int32
+        )
+        sc_rows = materialize(
+            (parts, e_sc),
+            lambda j: pad_row(sc[j][0], e_sc, m_loc - 1, np.int32),
+            np.int32,
+        )
+        sc_cols = materialize(
+            (parts, e_sc), lambda j: pad_row(sc[j][1], e_sc, 0, np.int32), np.int32
+        )
+        sc_vals = materialize(
+            (parts, e_sc),
+            lambda j: pad_row(sc[j][2], e_sc, 0.0, np.float32),
+            np.float32,
+        )
         rem_idx, rem_w, rem_meta, rem_meta2, send_idx = [], [], [], [], []
         for s in range(S):
-
-            def take_rem(j, s=s):
-                b = _coo_to_csr(*compact[j][s], m_loc, widths[s])
-                compact[j][s] = None
-                return b
-
-            ri, rw, rm, rm2 = stacked_scheds(take_rem)
-            rem_idx.append(ri)
-            rem_w.append(rw)
-            rem_meta.append(rm)
-            rem_meta2.append(rm2)
-            si = np.zeros((parts, widths[s]), np.int32)
-            for j in range(parts):
-                hc = halos[j][s]
-                si[j, : hc.size] = hc
-            send_idx.append(jnp.asarray(si))
+            rem_idx.append(
+                materialize(
+                    (parts, S_rem[s], sg.E_BLK),
+                    lambda j, s=s: rem_scheds[j][s]["idx"],
+                    np.int32,
+                )
+            )
+            rem_w.append(
+                materialize(
+                    (parts, S_rem[s], sg.E_BLK),
+                    lambda j, s=s: rem_scheds[j][s]["w"],
+                    np.float32,
+                )
+            )
+            rem_meta.append(
+                materialize(
+                    (parts, S_rem[s]),
+                    lambda j, s=s: rem_scheds[j][s]["meta"],
+                    np.int32,
+                )
+            )
+            rem_meta2.append(
+                materialize(
+                    (parts, S_rem[s]),
+                    lambda j, s=s: rem_scheds[j][s]["meta2"],
+                    np.int32,
+                )
+            )
+            # receiver j's halo list, built locally; the SENDER's list is
+            # the same array one ring hop away (shard roll, like
+            # DistHaloMat.from_slabs)
+            recv_s = materialize(
+                (parts, widths[s]),
+                lambda j, s=s: pad_row(recv[j][s], widths[s], 0, np.int32),
+                np.int32,
+            )
+            if multi:
+                roll = jax.jit(
+                    functools.partial(jnp.roll, shift=s + 1, axis=0),
+                    out_shardings=sharding,
+                )
+                send_idx.append(roll(recv_s))
+            else:
+                perm = [(k - s - 1) % parts for k in range(parts)]
+                send_idx.append(jnp.asarray(np.asarray(recv_s)[perm]))
         return DistHaloGatherMat(
-            sc_rows=jnp.asarray(sc_rows),
-            sc_cols=jnp.asarray(sc_cols),
-            sc_vals=jnp.asarray(sc_vals),
+            sc_rows=sc_rows,
+            sc_cols=sc_cols,
+            sc_vals=sc_vals,
             loc_idx=loc_idx,
             loc_w=loc_w,
             loc_meta=loc_meta,
@@ -605,7 +742,7 @@ class DistHaloGatherMat:
             send_idx=tuple(send_idx),
             n=n,
             parts=parts,
-            nnz=csr.nnz,
+            nnz=total_nnz,
             halo_width=max(widths, default=0),
             halo_total=h_total,
             round_widths=widths,
@@ -745,6 +882,76 @@ class DistHaloPair:
         return DistHaloPair(
             make(csr_fwd, parts, **kw),
             make(csr_bwd, parts, **kw),
+        )
+
+    @staticmethod
+    def from_pigo(
+        graph_path: str,
+        graph_t_path: str,
+        parts: int,
+        mesh: Mesh | None = None,
+        engine: str = "xla",
+        pad_to: int = 512,
+    ) -> "DistHaloPair":
+        """The memory-scalable production build (VERDICT r4 #2b): the full
+        normalized (Âᵀ, Â) training pair straight from PIGO binaries, each
+        process mmap-reading ONLY its row slabs of ``graph.bin`` AND of the
+        transposed ``graph_t.bin`` (written by prep / ``ensure_pigo_transpose``).
+        Peak host memory ~1/P of the graph plus the O(n) normalization
+        diagonal. Normalization matches ``sparse.normalize(axis=True)`` +
+        ``transpose`` (matrix.hpp:340-390, main.cpp:143):
+
+            Â  slab j = graph.bin rows, entry (r, c) divided by colsum[c]
+            Âᵀ slab j = graph_t.bin rows, row r divided by colsum[r]
+
+        with colsum = float64 row sums of ``graph_t.bin`` (the column sums
+        of A), streamed without loading the graph.
+        """
+        from ..formats import (
+            read_pigo_csr_slab,
+            read_pigo_nrows,
+            read_pigo_row_sums,
+        )
+
+        n = read_pigo_nrows(graph_path)
+        n_t = read_pigo_nrows(graph_t_path)
+        if n != n_t:
+            raise ValueError(
+                f"{graph_path} has {n} rows but {graph_t_path} has {n_t} — "
+                "not a transposed pair"
+            )
+        if n % parts:
+            raise ValueError(
+                f"n ({n}) must be divisible by the mesh size ({parts}); pad "
+                "the dataset (dist_matrix.hpp:428 semantics)"
+            )
+        m_loc = n // parts
+        colsum = read_pigo_row_sums(graph_t_path)  # f64[n], = colsums of A
+
+        def fwd_slab(j: int) -> CSRData:
+            s = read_pigo_csr_slab(graph_t_path, j * m_loc, (j + 1) * m_loc)
+            scale = colsum[j * m_loc : (j + 1) * m_loc]
+            data = (
+                s.data.astype(np.float64)
+                / np.repeat(scale, np.diff(s.indptr).astype(np.int64))
+            ).astype(np.float32)
+            return CSRData(s.indptr, s.indices, data, s.shape)
+
+        def bwd_slab(j: int) -> CSRData:
+            s = read_pigo_csr_slab(graph_path, j * m_loc, (j + 1) * m_loc)
+            data = (
+                s.data.astype(np.float64) / colsum[s.indices.astype(np.int64)]
+            ).astype(np.float32)
+            return CSRData(s.indptr, s.indices, data, s.shape)
+
+        make = (
+            DistHaloGatherMat.from_slabs
+            if engine == "gather"
+            else DistHaloMat.from_slabs
+        )
+        return DistHaloPair(
+            make(fwd_slab, n, parts, pad_to=pad_to, mesh=mesh),
+            make(bwd_slab, n, parts, pad_to=pad_to, mesh=mesh),
         )
 
     def shardings(self, mesh: Mesh):

@@ -37,8 +37,24 @@ def initialize(coordinator_address: str | None = None, **kw) -> None:
 
     On TPU pod slices all arguments are auto-discovered; set
     ``coordinator_address``/``num_processes``/``process_id`` explicitly for
-    other fabrics. Call before any other JAX API touches devices.
+    other fabrics — or via the ``MG_GCN_COORDINATOR`` /
+    ``MG_GCN_NUM_PROCESSES`` / ``MG_GCN_PROCESS_ID`` /
+    ``MG_GCN_LOCAL_DEVICE_IDS`` environment variables (how ``--multihost``
+    CLI runs are launched on fabrics without a cluster detector). Call
+    before any other JAX API touches devices.
     """
+    import os
+
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("MG_GCN_COORDINATOR")
+    if coordinator_address is not None:
+        kw.setdefault(
+            "num_processes", int(os.environ.get("MG_GCN_NUM_PROCESSES", 1))
+        )
+        kw.setdefault("process_id", int(os.environ.get("MG_GCN_PROCESS_ID", 0)))
+        ldi = os.environ.get("MG_GCN_LOCAL_DEVICE_IDS")
+        if ldi and "local_device_ids" not in kw:
+            kw["local_device_ids"] = [int(v) for v in ldi.split(",")]
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address, **kw)
     except RuntimeError as e:  # already initialized — idempotent by intent

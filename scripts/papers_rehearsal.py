@@ -82,6 +82,68 @@ def make_dataset(out_dir: str, n: int, deg: int, d: int, seed: int = 0) -> None:
     print(f"dataset on disk: {gb:.2f} GB at {out_dir}", flush=True)
 
 
+CODE = (
+    "import jax; jax.config.update('jax_platforms','cpu');"
+    "import sys; from mg_gcn_tpu.cli import main; rc = main(sys.argv[1:]);"
+    "import resource;"
+    "print('RSSGB', resource.getrusage(resource.RUSAGE_SELF).ru_maxrss/1e6,"
+    " flush=True); sys.exit(rc)"
+)
+
+
+def run_cli(out: str, procs: int, devs_per_proc: int, port: int):
+    """Train 2 epochs through the CLI halo path. procs=1: the classic
+    single-process build over 8 virtual devices. procs>1: the PRODUCTION
+    slab path — each process runs `--multihost`, header-loads the graph,
+    and builds only its own shards from graph.bin/graph_t.bin slabs
+    (DistHaloPair.from_pigo). Returns (wall_s, per-process peak RSS list,
+    ok)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    P = procs * devs_per_proc
+    base_env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS=f"--xla_force_host_platform_device_count={devs_per_proc}",
+        # virtual devices share host RAM: cap each device's materialized
+        # SpMM gather at 256 MB (the TPU default is 2 GB of HBM)
+        MG_GCN_GATHER_CAP=str(256 << 20),
+    )
+    base_env["PYTHONPATH"] = repo + os.pathsep + base_env.get("PYTHONPATH", "")
+    args = [
+        sys.executable, "-c", CODE,
+        "-P", str(P), "-R", "1", "-E", "2", "--impl", "halo", "--mmap",
+    ]
+    if procs > 1:
+        args.append("--multihost")
+        base_env.update(
+            MG_GCN_COORDINATOR=f"127.0.0.1:{port}",
+            MG_GCN_NUM_PROCESSES=str(procs),
+        )
+    args += ["train", out, "1", "32"]
+    t0 = time.time()
+    children = []
+    for pid in range(procs):
+        env = dict(base_env)
+        if procs > 1:
+            env["MG_GCN_PROCESS_ID"] = str(pid)
+        children.append(
+            subprocess.Popen(
+                args, env=env, cwd=repo,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    rss, ok = [], True
+    for pid, proc in enumerate(children):
+        for line in proc.stdout:
+            line = line.rstrip()
+            if line.startswith("RSSGB "):
+                rss.append(float(line.split()[1]))
+            print(f"  |{pid}| {line}", flush=True)
+        proc.wait()
+        ok = ok and proc.returncode == 0
+    return time.time() - t0, rss, ok
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
     deg = int(sys.argv[2]) if len(sys.argv) > 2 else 12
@@ -92,45 +154,51 @@ def main():
         make_dataset(out, n, deg, d)
         print(f"generation: {time.time()-t0:.0f} s", flush=True)
 
-    env = dict(
-        os.environ,
-        JAX_PLATFORMS="cpu",
-        XLA_FLAGS="--xla_force_host_platform_device_count=8",
-        # 8 virtual devices share host RAM: cap each device's materialized
-        # SpMM gather at 256 MB (the TPU default is 2 GB of HBM)
-        MG_GCN_GATHER_CAP=str(256 << 20),
-    )
-    code = (
-        "import jax; jax.config.update('jax_platforms','cpu');"
-        "import sys; from mg_gcn_tpu.cli import main; sys.exit(main(sys.argv[1:]))"
-    )
-    args = [
-        sys.executable, "-c", code,
-        "-P", "8", "-R", "1", "-E", "2", "--impl", "halo", "--mmap",
-        "train", out, "1", "32",
-    ]
+    # slab-path prerequisite, built once (prep writes it for new datasets)
+    from mg_gcn_tpu.formats import ensure_pigo_transpose
+
     t0 = time.time()
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
-    proc = subprocess.Popen(
-        args, env=env, cwd=repo,
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    ensure_pigo_transpose(out)
+    print(f"graph_t.bin ready in {time.time()-t0:.0f} s", flush=True)
+
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    # the PRODUCTION slab path: 2 processes x 4 devices, per-process RSS
+    # must track ~(graph/P_procs + n*d/P + O(n) normalization diagonal),
+    # NOT the full graph (VERDICT r4 #2c)
+    print("=== slab path (2 processes x 4 devices, --multihost) ===", flush=True)
+    wall2, rss2, ok2 = run_cli(out, 2, 4, port)
+    print(
+        f"slab path: wall {wall2:.0f} s ok={ok2} per-process peak RSS "
+        f"{[f'{r:.1f}' for r in rss2]} GB",
+        flush=True,
     )
-    for line in proc.stdout:
-        print("  |", line.rstrip(), flush=True)
-    proc.wait()
-    wall = time.time() - t0
-    rss_child = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss / 1e6
+
+    print("=== classic path (1 process x 8 devices, full-graph build) ===", flush=True)
+    wall, rss1, ok1 = run_cli(out, 1, 8, 0)
+    rss_child = max(rss1) if rss1 else float("nan")
+    proc = type("R", (), {"returncode": 0 if ok1 else 1})()
     nnz = None
-    print(f"training wall: {wall:.0f} s, exit {proc.returncode}", flush=True)
-    print(f"peak child RSS: {rss_child:.1f} GB", flush=True)
+    print(f"classic path: wall {wall:.0f} s, exit {proc.returncode}", flush=True)
+    print(f"classic peak RSS: {rss_child:.1f} GB", flush=True)
     full_feats = n * d * 4 / 1e9
     print(
         f"(features on disk: {full_feats:.1f} GB; an eager loader would hold "
         "all of it plus per-device copies)",
         flush=True,
     )
-    sys.exit(proc.returncode)
+    if rss2 and rss1:
+        print(
+            f"RSS scaling: slab per-process {max(rss2):.1f} GB vs classic "
+            f"{rss_child:.1f} GB ({rss_child / max(rss2):.2f}x)",
+            flush=True,
+        )
+    sys.exit(0 if (ok1 and ok2) else 1)
 
 
 if __name__ == "__main__":

@@ -118,6 +118,51 @@ np.testing.assert_allclose(my_shard(hm.loc_vals), np.asarray(ref.loc_vals)[pid:p
 np.testing.assert_array_equal(my_shard(hm.rem_rows[0]), np.asarray(ref.rem_rows[0])[pid:pid+1])
 np.testing.assert_allclose(my_shard(hm.rem_vals[0]), np.asarray(ref.rem_vals[0])[pid:pid+1])
 np.testing.assert_array_equal(my_shard(hm.send_idx[0]), np.asarray(ref.send_idx[0])[pid:pid+1])
+# production from_pigo pair build (VERDICT r4 #2): per-process slabs of
+# graph.bin + graph_t.bin; every shard must match the single-host pair,
+# for BOTH local engines
+from mg_gcn_tpu.formats import write_pigo_csr, ensure_pigo_transpose
+from jax.experimental import multihost_utils
+
+g_raw = hsp.random_graph(n, 4, seed=6, weights="random")
+if pid == 0:
+    write_pigo_csr("graph.bin", g_raw)
+    ensure_pigo_transpose(".")
+multihost_utils.sync_global_devices("pigo_ready")
+a2 = hsp.normalize(g_raw, axis=True)
+a2_t = hsp.transpose(a2)
+for engine in ("xla", "gather"):
+    got = dist_halo.DistHaloPair.from_pigo(
+        "graph.bin", "graph_t.bin", 2, mesh=mesh, engine=engine
+    )
+    ref2 = dist_halo.DistHaloPair.from_csr_pair(a2_t, a2, 2, engine=engine)
+    assert got.fwd.round_widths == ref2.fwd.round_widths, engine
+    assert got.bwd.nnz == ref2.bwd.nnz, engine
+    if engine == "xla":
+        np.testing.assert_allclose(
+            my_shard(got.fwd.loc_vals),
+            np.asarray(ref2.fwd.loc_vals)[pid : pid + 1],
+            rtol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            my_shard(got.bwd.send_idx[0]),
+            np.asarray(ref2.bwd.send_idx[0])[pid : pid + 1],
+        )
+    else:
+        np.testing.assert_array_equal(
+            my_shard(got.fwd.loc_idx),
+            np.asarray(ref2.fwd.loc_idx)[pid : pid + 1],
+        )
+        np.testing.assert_allclose(
+            my_shard(got.bwd.loc_w),
+            np.asarray(ref2.bwd.loc_w)[pid : pid + 1],
+            rtol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            my_shard(got.fwd.send_idx[0]),
+            np.asarray(ref2.fwd.send_idx[0])[pid : pid + 1],
+        )
+
 print(f"proc {pid} OK", flush=True)
 """
 
@@ -163,3 +208,106 @@ def test_two_process_shard_paths(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert f"proc {pid} OK" in out
+
+
+@pytest.mark.slow
+def test_two_process_cli_halo_slab(tmp_path):
+    """End-to-end production path (VERDICT r4 #2): two real processes run
+    `cli --multihost -P 2 -R 1 --impl halo` against a dataset directory.
+    Each process header-loads the graph, builds the pair from its own
+    slabs of graph.bin/graph_t.bin (zero from_csr_pair call sites), and
+    the training losses must agree across processes AND match a
+    single-process run of the same problem."""
+    import numpy as np
+
+    from mg_gcn_tpu import sparse as hsp
+    from mg_gcn_tpu.data.prep import pad_graph
+    from mg_gcn_tpu.formats import ensure_pigo_transpose
+
+    n = 128
+    g = hsp.random_graph(n, 5, seed=17, self_loops=False)
+    rng = np.random.default_rng(17)
+    ds = pad_graph(
+        g,
+        rng.random((n, 6), np.float32),
+        rng.integers(0, 3, n).astype(np.int32),
+        np.zeros(n, np.int32),
+        P=2,
+    )
+    d = tmp_path / "ds"
+    ds.save(d)
+    ensure_pigo_transpose(d)
+
+    port = _free_port()
+    base_env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        MG_GCN_COORDINATOR=f"127.0.0.1:{port}",
+        MG_GCN_NUM_PROCESSES="2",
+        MG_GCN_LOCAL_DEVICE_IDS="0",
+    )
+    base_env.pop("XLA_FLAGS", None)  # one device per process
+    args = [
+        sys.executable, "-m", "mg_gcn_tpu.cli",
+        "--multihost", "-P", "2", "-R", "1", "--impl", "halo",
+        "-E", "2", "train", str(d), "1", "8",
+    ]
+    procs = [
+        subprocess.Popen(
+            args,
+            env=dict(base_env, MG_GCN_PROCESS_ID=str(pid)),
+            cwd=tmp_path,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+
+    def losses(out):
+        return [
+            float(l.split()[1])
+            for l in out.splitlines()
+            if l and l[0].isdigit() and len(l.split()) == 4
+        ]
+
+    l0, l1 = losses(outs[0]), losses(outs[1])
+    assert len(l0) == 2 and l0 == l1, (l0, l1)
+
+    # single-PROCESS reference on the same problem: -P 2 halo over 2
+    # virtual devices with the classic full-graph from_csr_pair build
+    # (same config — the CLI rounds the class count up to P per
+    # main.cpp:135, so a -P 1 run would train a different model)
+    env1 = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "mg_gcn_tpu.cli",
+            "-P", "2", "-R", "1", "--impl", "halo",
+            "-E", "2", "train", str(d), "1", "8",
+        ],
+        env=env1,
+        cwd=tmp_path,
+        capture_output=True,
+        text=True,
+        timeout=240,
+    )
+    assert r.returncode == 0, r.stderr
+    lref = losses(r.stderr + r.stdout)
+    np.testing.assert_allclose(l0, lref, rtol=1e-5)

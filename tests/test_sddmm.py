@@ -79,6 +79,25 @@ def test_sddmm_scores_match(paired):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_sddmm_qskip_matches_full_select():
+    """The q-range row-select walk (SMEM-fed [q0, q1] per chunk) must be
+    slot-identical to the full nq-loop select at a forced multi-sub-block
+    br, including padding slots (empty chunks: q0 > q1, zero output)."""
+    csr = structure_csr(700, density=0.02, seed=11)
+    rng = np.random.default_rng(12)
+    a = rng.standard_normal((700, 24)).astype(np.float32)
+    b = rng.standard_normal((700, 24)).astype(np.float32)
+    mat = se.edge_tile_mat_from_csr(csr, dtype="float32", br=512)
+    full = np.asarray(
+        sd.sddmm_edge_tiles(mat, jnp.asarray(a), jnp.asarray(b), qskip=False)
+    )
+    qs = np.asarray(
+        sd.sddmm_edge_tiles(mat, jnp.asarray(a), jnp.asarray(b), qskip=True)
+    )
+    np.testing.assert_allclose(qs, full, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(full, slot_oracle(mat, csr, a, b), rtol=1e-5, atol=1e-5)
+
+
 def test_sddmm_bf16():
     csr = structure_csr(300, density=0.05, seed=3)
     rng = np.random.default_rng(4)

@@ -1086,7 +1086,7 @@ def _edge_t_call(
             bytes_accessed=mat.idx.size * 4
             + w_slots.size * w_slots.dtype.itemsize
             + S2 * br * d_pad * a_pad.dtype.itemsize
-            + mat.n_in_pad * d_pad * 4,
+            + n_win * BCW * d_pad * 4,
             transcendentals=0,
         ),
         interpret=interpret_default(),

@@ -110,13 +110,17 @@ def _sddmm_kernel_qskip(
         out_ref[c : c + 1, :] = jnp.sum(prod, axis=0, keepdims=True)
 
 
-def _sddmm_kernel(meta_ref, chi_ref, idx_ref, a_ref, b_ref, g_ref, out_ref, *, br, cdtype):
+def _sddmm_kernel(
+    meta_ref, chi_ref, idx_ref, a_ref, b_ref, g_ref, out_ref, *, br,
+    cdtype, onelevel=False,
+):
     """Selections are computed (d, K)-oriented so each chunk's scores land
     as a (1, K) ROW of the (CPS, K) output block: the emitted array is the
     slot layout directly — no 16×-padded (·, CPS)-minor intermediate in
     HBM and no post-kernel transpose (the round-3 layout allocated
     S·K×CPS f32 padded 8→128 lanes, ~11 GB at Reddit scale)."""
     s = pl.program_id(0)
+    row8 = s % 8  # chi rows are pre-reordered to grid order (8 per fetch)
     prec = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else None
     int8 = cdtype == jnp.int8
     acc_t = jnp.int32 if int8 else jnp.float32
@@ -124,16 +128,26 @@ def _sddmm_kernel(meta_ref, chi_ref, idx_ref, a_ref, b_ref, g_ref, out_ref, *, b
     a_blk = a_ref[:]
     if a_blk.dtype != cdtype:
         a_blk = a_blk.astype(cdtype)
-    g_col = g_ref[:, 0:1]  # (d, 1) f32 per-feature dequant (ones off int8)
+    g_col = g_ref[:, 0:1]  # (d, 1) f32 per-feature dequant (int8 mode only)
     nq = br // BC  # row sub-blocks (br is a multiple of 8; >=128 in practice)
 
+    # hoisted slot-word decode: one batch of (CPS, K) VPU ops instead of
+    # CPS separate single-vreg passes (the kernel is partly VPU-bound —
+    # round-5 probe; every (1, K) op costs a full vreg pass anyway)
+    vraw_all = idx_ref[:]  # (CPS, K) i32
+    v_all = vraw_all & IDX_MASK
+    rl_all = (v_all >> 7) & RL_MASK  # int8-packed words carry wq above bit 17
+    cl_all = v_all & (BC - 1)
+    valid_all = (vraw_all >> 30) & 1
+    qv_all = rl_all >> 7
+    # padding slots keyed out of range so their one-hot column is all-zero
+    m_adj_all = jnp.where(valid_all != 0, rl_all & (BC - 1), 2 * BC)
+
     for c in range(CPS):
-        vraw = idx_ref[c : c + 1, :]  # (1, K) i32
-        v = vraw & IDX_MASK
-        rl = (v >> 7) & RL_MASK  # int8-packed idx words carry wq above bit 17
-        cl = v & (BC - 1)
-        valid = (vraw >> 30) & 1
-        bsub = b_ref[pl.ds(chi_ref[s % 8, c] * BC, BC), :]
+        rl = rl_all[c : c + 1, :]
+        cl = cl_all[c : c + 1, :]
+        valid = valid_all[c : c + 1, :]
+        bsub = b_ref[pl.ds(chi_ref[row8, c] * BC, BC), :]
         if bsub.dtype != cdtype:
             bsub = bsub.astype(cdtype)
         hg = (iota_l == cl).astype(cdtype)  # (BC, K)
@@ -144,16 +158,27 @@ def _sddmm_kernel(meta_ref, chi_ref, idx_ref, a_ref, b_ref, g_ref, out_ref, *, b
             preferred_element_type=acc_t,
             precision=prec,
         )  # (d, K): B_sub[cl_e, :] per slot column
-        if nq >= 1 and br % BC == 0:
+        if onelevel and br % BC == 0:
+            # single full-height (br, K) one-hot -> ONE selection matmul:
+            # trades nq-1 matmul issues + nq lane-mask multiplies + nq-1
+            # (d, K) accumulate adds for nq-times-taller compare/cast
+            # passes (round-5 A/B experiment vs the two-level select)
+            iota_r = jax.lax.broadcasted_iota(jnp.int32, (br, K), 0)
+            rl_key = jnp.where(valid != 0, rl, 2 * br)  # (1, K)
+            hr = (iota_r == rl_key).astype(cdtype)  # (br, K)
+            ar = jax.lax.dot_general(
+                a_blk, hr, (((0,), (0,)), ((), ())),
+                preferred_element_type=acc_t, precision=prec,
+            )  # (d, K)
+        elif nq >= 1 and br % BC == 0:
             # two-level row select (VERDICT r3 #2): ONE shared (128, K)
             # one-hot keyed on the lane-local row (padding slots pushed to
             # the out-of-range key 2·BC so their column is all-zero), then
             # one cheap (1, K) lane mask per 128-row sub-block — the VPU
             # work no longer scales with br (the old (br, K) compare was
             # what made br=896 VPU-bound, PERF.md round-3 notes)
-            m_adj = jnp.where(valid != 0, rl & (BC - 1), 2 * BC)  # (1, K)
-            qv = rl >> 7  # sub-block of each slot
-            sel = (iota_l == m_adj).astype(cdtype)  # (128, K) shared one-hot
+            qv = qv_all[c : c + 1, :]  # sub-block of each slot
+            sel = (iota_l == m_adj_all[c : c + 1, :]).astype(cdtype)
             ar = None
             for qq in range(nq):
                 mq = (qv == qq).astype(cdtype)  # (1, K) lane mask
@@ -175,8 +200,12 @@ def _sddmm_kernel(meta_ref, chi_ref, idx_ref, a_ref, b_ref, g_ref, out_ref, *, b
                 preferred_element_type=acc_t,
                 precision=prec,
             )  # (d, K)
-        # products <= 127²·d < 2³¹ in int8 mode: the i32 product is exact
-        prod = (ar * bc).astype(jnp.float32) * g_col  # (d, K)
+        # products <= 127²·d < 2³¹ in int8 mode: the i32 product is exact.
+        # g_col is identically 1 outside int8 mode — skip the (d, K)
+        # broadcast multiply there (a full VPU pass per chunk)
+        prod = (ar * bc).astype(jnp.float32)  # (d, K)
+        if int8:
+            prod = prod * g_col
         out_ref[c : c + 1, :] = jnp.sum(prod, axis=0, keepdims=True)
 
 
@@ -196,7 +225,11 @@ def _chunk_q_ranges(mat: EdgeTileMat) -> jax.Array:
 
 
 def sddmm_edge_tiles(
-    mat: EdgeTileMat, a: jax.Array, b: jax.Array, qskip: bool | None = None
+    mat: EdgeTileMat,
+    a: jax.Array,
+    b: jax.Array,
+    qskip: bool | None = None,
+    select: str = "two",
 ) -> jax.Array:
     """Per-slot edge scores ``<A[row_e], B[col_e]>`` for the edges of
     ``mat`` (structure/schedule only; ``mat.w`` is not read). Returns an
@@ -251,47 +284,106 @@ def sddmm_edge_tiles(
     from .spmm_edges import BCW
 
     if qskip is None:
-        # the q-range walk needs >1 sub-block to skip and the two-level
-        # layout (br a multiple of BC)
-        qskip = br >= 2 * BC and br % BC == 0
-    in_specs = [
-        pl.BlockSpec((8, CPS), lambda s, meta: (s // 8, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((CPS, K), lambda s, meta: (s, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(
-            (br, d_pad),
-            lambda s, meta: (meta[s] >> (tcw_bits + 1), 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (BCW, d_pad),
-            lambda s, meta: ((meta[s] >> 1) & tcw_mask, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec((d_pad, 8), lambda s, meta: (0, 0), memory_space=pltpu.VMEM),
-    ]
-    operands = [mat.chi, mat.idx, a_pad, b_pad, g]
+        # MEASURED NEGATIVE (round 5, real v5e, Reddit-scale br=512):
+        # 0.075 vs 0.508 Gedge/s — a dynamic trip count defeats Mosaic's
+        # static scheduling even with SMEM-fed bounds (settles the round-4
+        # hypothesis that blamed the in-kernel bound reduce; PERF.md).
+        # The q-range kernel stays available for the record/tests only.
+        qskip = False
     if qskip:
-        # per-chunk [q0, q1] sub-block ranges ride a second SMEM-blocked
-        # input ahead of chi
-        in_specs.insert(
-            0,
+        # legacy original-order path (q-range record kernel)
+        in_specs = [
             pl.BlockSpec(
                 (8, CPS), lambda s, meta: (s // 8, 0), memory_space=pltpu.SMEM
             ),
-        )
-        operands.insert(0, _chunk_q_ranges(mat))
+            pl.BlockSpec(
+                (8, CPS), lambda s, meta: (s // 8, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((CPS, K), lambda s, meta: (s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (br, d_pad),
+                lambda s, meta: (meta[s] >> (tcw_bits + 1), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (BCW, d_pad),
+                lambda s, meta: ((meta[s] >> 1) & tcw_mask, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((d_pad, 8), lambda s, meta: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        operands = [_chunk_q_ranges(mat), mat.chi, mat.idx, a_pad, b_pad, g]
         kernel = functools.partial(_sddmm_kernel_qskip, br=br, cdtype=cdtype)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(S,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (CPS, K), lambda s, meta: (s, 0), memory_space=pltpu.VMEM
+            ),
+        )
+        prefetch = (mat.meta,)
+        reorder = None
     else:
-        kernel = functools.partial(_sddmm_kernel, br=br, cdtype=cdtype)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(S,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (CPS, K), lambda s, meta: (s, 0), memory_space=pltpu.VMEM
-        ),
-    )
+        # COLUMN-WINDOW-MAJOR step order (round 5): the schedule's natural
+        # (row-tile, window) order touches a fresh (BCW, d) operand window
+        # nearly every step — S × BCW·d·2 bytes ≈ 165 GB ≈ 200 ms at
+        # Reddit scale, the MEASURED kernel bound (one-level == two-level
+        # == VPU-trimmed all at ~222 ms). Visiting steps sorted by column
+        # window keeps each window block resident across its ~S/n_tcw
+        # consecutive steps (window traffic drops ~2900×; the (br, d)
+        # A-blocks now re-stream per step instead, a 8× smaller block).
+        # Scores are emitted grid-sequentially and un-permuted to the slot
+        # layout with one row gather (~2 ms) after the call. SDDMM needs no
+        # cross-step accumulation, so any step order is legal.
+        tcw_of = (mat.meta >> 1) & tcw_mask
+        order = jnp.argsort(tcw_of, stable=True).astype(jnp.int32)
+        # the slot/step arrays are re-ordered ON DEVICE (one ~2 ms row
+        # gather each) instead of double-indexing via a second prefetch
+        # array — meta + order together would blow the ~1 MB SMEM budget
+        # at Reddit scale (measured: 1.27 MB requested)
+        rmeta = jnp.take(mat.meta, order)
+        idx_r = jnp.take(
+            mat.idx.reshape(S, CPS, K), order, axis=0
+        ).reshape(S * CPS, K)
+        chi_r = jnp.take(mat.chi, order, axis=0)
+        in_specs = [
+            pl.BlockSpec(
+                (8, CPS), lambda s, meta: (s // 8, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (CPS, K), lambda s, meta: (s, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (br, d_pad),
+                lambda s, meta: (meta[s] >> (tcw_bits + 1), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (BCW, d_pad),
+                lambda s, meta: ((meta[s] >> 1) & tcw_mask, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (d_pad, 8), lambda s, meta: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        operands = [chi_r, idx_r, a_pad, b_pad, g]
+        kernel = functools.partial(
+            _sddmm_kernel, br=br, cdtype=cdtype, onelevel=select == "one"
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # reordered meta
+            grid=(S,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (CPS, K), lambda s, meta: (s, 0), memory_space=pltpu.VMEM
+            ),
+        )
+        prefetch = (rmeta,)
+        reorder = order
     itemsize = 1 if cdtype == jnp.int8 else 2
+    n_tcw = max(mat.n_in_pad // BCW, 1)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -300,11 +392,19 @@ def sddmm_edge_tiles(
             flops=2 * S * CPS * K * (br + BC) * d_pad
             // (2 if cdtype == jnp.int8 else 1),
             bytes_accessed=mat.idx.size * 4
-            + S * (br + BCW) * d_pad * itemsize
+            + S * br * d_pad * itemsize
+            + (S if reorder is None else n_tcw) * BCW * d_pad * itemsize
             + S * CPS * K * 4,
             transcendentals=0,
         ),
         interpret=interpret_default(),
-    )(mat.meta, *operands)
+    )(*prefetch, *operands)
+    if reorder is not None:
+        # un-permute grid-sequential rows back to the slot layout: row
+        # block i holds original step order[i]'s chunks
+        inv = jnp.zeros((S,), jnp.int32).at[reorder].set(
+            jnp.arange(S, dtype=jnp.int32)
+        )
+        out = out.reshape(S, CPS, K)[inv].reshape(S * CPS, K)
     # the (CPS, K) output blocks ARE the (S·CPS, K) slot layout mat.w uses
     return out

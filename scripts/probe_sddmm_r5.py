@@ -55,18 +55,18 @@ a = jnp.asarray(rng.standard_normal((mat.n_out, D)).astype(np.float32))
 CHAIN = 5
 
 
-def run(tag, qskip):
+def run(tag, qskip, select="two"):
     @jax.jit
-    def chain(a):
+    def chain(mat, a):
         t = 0.0
         for i in range(CHAIN):
-            s = sd.sddmm_edge_tiles(mat, a + i, a + i, qskip=qskip)
+            s = sd.sddmm_edge_tiles(mat, a + i, a + i, qskip=qskip, select=select)
             t = t + jnp.sum(s[:: 64 * 1024])
         return t
 
-    r1 = float(chain(a))
+    r1 = float(chain(mat, a))
     t1 = time.perf_counter()
-    r2 = float(chain(a))
+    r2 = float(chain(mat, a))
     dt = (time.perf_counter() - t1) / CHAIN
     print(
         f"{tag:28s}: {dt*1e3:7.1f} ms/SDDMM  {NNZ/dt/1e9:.3f} Gedge/s  "
@@ -75,6 +75,6 @@ def run(tag, qskip):
     return dt
 
 
-d_full = run("full nq select", False)
-d_q = run("q-range skip", True)
-print(f"speedup {d_full/d_q:.2f}x")
+d_full = run("two-level select", False)
+d_one = run("one-level (br,K) select", False, select="one")
+print(f"one-level vs two-level {d_full/d_one:.2f}x")

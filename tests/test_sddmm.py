@@ -98,6 +98,21 @@ def test_sddmm_qskip_matches_full_select():
     np.testing.assert_allclose(full, slot_oracle(mat, csr, a, b), rtol=1e-5, atol=1e-5)
 
 
+def test_sddmm_onelevel_matches_two_level():
+    """The single full-height (br, K) select must be slot-identical to the
+    two-level shared-one-hot + lane-mask form (round-5 A/B variants)."""
+    csr = structure_csr(700, density=0.02, seed=15)
+    rng = np.random.default_rng(16)
+    a = rng.standard_normal((700, 24)).astype(np.float32)
+    b = rng.standard_normal((700, 24)).astype(np.float32)
+    mat = se.edge_tile_mat_from_csr(csr, dtype="float32", br=512)
+    two = np.asarray(sd.sddmm_edge_tiles(mat, jnp.asarray(a), jnp.asarray(b)))
+    one = np.asarray(
+        sd.sddmm_edge_tiles(mat, jnp.asarray(a), jnp.asarray(b), select="one")
+    )
+    np.testing.assert_allclose(one, two, rtol=1e-6, atol=1e-6)
+
+
 def test_sddmm_bf16():
     csr = structure_csr(300, density=0.05, seed=3)
     rng = np.random.default_rng(4)

@@ -783,8 +783,11 @@ def main() -> None:
             gparams = gat_mod.init_params(gconfig, jax.random.key(0))
             gopt = adam.adam_init(gparams)
 
+            # graph/features as jit ARGUMENTS, never closure constants —
+            # closed-over device arrays ship inside the remote-compile
+            # request body (HTTP 413 past ~1 GB; NOTES.md round 5)
             @jax.jit
-            def gat_step(params, opt):
+            def gat_step(params, opt, ggraph, gx, gy):
                 loss, acc, grads = gat_mod.loss_and_grad(
                     params, ggraph, gx, gy, gconfig
                 )
@@ -794,7 +797,7 @@ def main() -> None:
             gtimes, glosses, gaccs = [], [], []
             for e in range(4):  # warmup (compile) + 3
                 s = time.perf_counter()
-                gparams, gopt, loss, acc = gat_step(gparams, gopt)
+                gparams, gopt, loss, acc = gat_step(gparams, gopt, ggraph, gx, gy)
                 loss = float(loss)
                 gtimes.append(time.perf_counter() - s)
                 glosses.append(loss)
@@ -872,8 +875,10 @@ def main() -> None:
             hparams = gat_mod.init_params(hconfig, jax.random.key(0))
             hopt = adam.adam_init(hparams)
 
+            # arrays as jit ARGUMENTS (the 1.3 GB headline schedule inside
+            # a closure overflows the remote-compile request — HTTP 413)
             @jax.jit
-            def gat_step_h(params, opt):
+            def gat_step_h(params, opt, hgraph, hx, hy):
                 loss, acc, grads = gat_mod.loss_and_grad(
                     params, hgraph, hx, hy, hconfig
                 )
@@ -883,7 +888,9 @@ def main() -> None:
             htimes, hlosses, haccs = [], [], []
             for e in range(3):  # warmup (compile) + 2
                 s = time.perf_counter()
-                hparams, hopt, loss, acc = gat_step_h(hparams, hopt)
+                hparams, hopt, loss, acc = gat_step_h(
+                    hparams, hopt, hgraph, hx, hy
+                )
                 loss = float(loss)
                 htimes.append(time.perf_counter() - s)
                 hlosses.append(loss)

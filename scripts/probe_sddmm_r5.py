@@ -37,7 +37,8 @@ else:
     with np.load(os.path.join(CACHE, "pg_232968_493_41.npz")) as gg:
         from mg_gcn_tpu.formats import CSRData
 
-        g = CSRData(gg["indptr"], gg["indices"], gg["data"], tuple(gg["shape"]))
+        n = gg["indptr"].shape[0] - 1
+        g = CSRData(gg["indptr"], gg["indices"], gg["data"], (n, n))
     a_n = hs.normalize(g, axis=True)
     a_t = hs.transpose(a_n)
     sched = se.edge_tile_schedule_host(a_t, dtype="bfloat16", br=br_arg)

@@ -245,7 +245,7 @@ def cmd_train(opts) -> int:
         and opts.P > 1
         and opts.R == 1
         and opts.impl in ("halo", "auto")
-        and opts.model == "gcn"
+        and opts.model in ("gcn", "sage")
         and not opts.f64
     )
     ds = Dataset.load(
@@ -693,10 +693,39 @@ def _train_dist_sage(opts, ds, config, hparams, params, opt_state, timers):
         return params, opt_state, 2
     strategy = "all_gather" if opts.S else "ring"
     with timers.span("0_preprocess"):
-        m = host_sparse.normalize(ds.graph, axis=False)
-        m_t = host_sparse.transpose(m)
+        from .formats import GraphHeader
+
         mesh = dist.make_mesh(P)
-        if opts.impl == "halo":
+        if isinstance(ds.graph, GraphHeader):
+            m = m_t = None  # multihost slab path: graph stays on disk
+        else:
+            m = host_sparse.normalize(ds.graph, axis=False)
+            m_t = host_sparse.transpose(m)
+        if opts.impl in ("halo", "auto") and isinstance(ds.graph, GraphHeader):
+            # per-process slab build of the SAGE mean-aggregator pair
+            # (M, Mᵀ) from graph.bin/graph_t.bin (norm="sage")
+            from .formats import ensure_pigo_transpose
+            from .parallel import dist_halo
+            from .train import halo_engine
+
+            engine = halo_engine(ds.graph, P)
+            d_dir = os.path.dirname(ds.graph.path)
+            if jax.process_index() == 0:
+                ensure_pigo_transpose(d_dir)
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("graph_t_ready_sage")
+            dpair = dist_halo.DistHaloPair.from_pigo(
+                ds.graph.path,
+                os.path.join(d_dir, "graph_t.bin"),
+                P,
+                mesh=mesh,
+                engine=engine,
+                norm="sage",
+            )
+            pair_kind = "halo_gather" if engine == "gather" else "halo"
+        elif opts.impl == "halo":
             from .parallel import dist_halo
             from .train import halo_engine
 
@@ -715,11 +744,37 @@ def _train_dist_sage(opts, ds, config, hparams, params, opt_state, timers):
         else:
             dpair = dist.DistAggPair.from_csr_pair(m, m_t, P)
             pair_kind = "coo"
-        x = jnp.asarray(ds.features, jnp.float32)
-        y = jnp.asarray(ds.labels.reshape(-1).astype(np.int32))
-        mask = (
-            jnp.asarray(ds.sets.reshape(-1) == 0) if config.loss_mask == "train" else None
-        )
+        if opts.multihost:
+            from .parallel import multihost
+
+            if not isinstance(ds.graph, GraphHeader):
+                dpair = multihost.tree_shard_put(
+                    dpair, mesh, dpair.shardings(mesh)
+                )
+            feats = ds.features
+            if feats.dtype != np.float32:
+                feats = feats.astype(np.float32)
+            x = multihost.shard_put(
+                feats, mesh, stream=isinstance(feats, np.memmap)
+            )
+            y = multihost.shard_put(
+                ds.labels.reshape(-1).astype(np.int32), mesh
+            )
+            mask = (
+                multihost.shard_put(ds.sets.reshape(-1) == 0, mesh)
+                if config.loss_mask == "train"
+                else None
+            )
+            params = multihost.replicate_put(params, mesh)
+            opt_state = multihost.replicate_put(opt_state, mesh)
+        else:
+            x = jnp.asarray(ds.features, jnp.float32)
+            y = jnp.asarray(ds.labels.reshape(-1).astype(np.int32))
+            mask = (
+                jnp.asarray(ds.sets.reshape(-1) == 0)
+                if config.loss_mask == "train"
+                else None
+            )
     step = dist.make_dist_sage_train_step(
         config,
         mesh,

@@ -892,20 +892,33 @@ class DistHaloPair:
         mesh: Mesh | None = None,
         engine: str = "xla",
         pad_to: int = 512,
+        norm: str = "gcn",
     ) -> "DistHaloPair":
         """The memory-scalable production build (VERDICT r4 #2b): the full
-        normalized (Âᵀ, Â) training pair straight from PIGO binaries, each
-        process mmap-reading ONLY its row slabs of ``graph.bin`` AND of the
-        transposed ``graph_t.bin`` (written by prep / ``ensure_pigo_transpose``).
-        Peak host memory ~1/P of the graph plus the O(n) normalization
-        diagonal. Normalization matches ``sparse.normalize(axis=True)`` +
-        ``transpose`` (matrix.hpp:340-390, main.cpp:143):
+        normalized training pair straight from PIGO binaries, each process
+        mmap-reading ONLY its row slabs of ``graph.bin`` AND of the
+        transposed ``graph_t.bin`` (written by prep /
+        ``ensure_pigo_transpose``). Peak host memory ~1/P of the graph plus
+        the O(n) normalization diagonal.
+
+        ``norm="gcn"`` (matrix.hpp:340-390 / main.cpp:143 semantics:
+        ``normalize(axis=True)`` then transpose — the pair is (Âᵀ, Â)):
 
             Â  slab j = graph.bin rows, entry (r, c) divided by colsum[c]
             Âᵀ slab j = graph_t.bin rows, row r divided by colsum[r]
 
         with colsum = float64 row sums of ``graph_t.bin`` (the column sums
         of A), streamed without loading the graph.
+
+        ``norm="sage"`` (the SAGE mean-aggregator pair (M, Mᵀ) with
+        M = ``normalize(axis=False)``, row-stochastic):
+
+            M  slab j = graph.bin rows, row r divided by rowsum[r]
+            Mᵀ slab j = graph_t.bin rows, entry (r, c) divided by rowsum[c]
+
+        with rowsum = float64 row sums of ``graph.bin``. Note the pair
+        ORDER matches the engines' callers: GCN steps take (fwd=Âᵀ, bwd=Â),
+        SAGE steps take (fwd=M, bwd=Mᵀ).
         """
         from ..formats import (
             read_pigo_csr_slab,
@@ -913,6 +926,8 @@ class DistHaloPair:
             read_pigo_row_sums,
         )
 
+        if norm not in ("gcn", "sage"):
+            raise ValueError(f"unknown norm {norm!r} (gcn | sage)")
         n = read_pigo_nrows(graph_path)
         n_t = read_pigo_nrows(graph_t_path)
         if n != n_t:
@@ -926,23 +941,32 @@ class DistHaloPair:
                 "the dataset (dist_matrix.hpp:428 semantics)"
             )
         m_loc = n // parts
-        colsum = read_pigo_row_sums(graph_t_path)  # f64[n], = colsums of A
+        # the normalization diagonal: GCN divides by A's column sums (= row
+        # sums of the transposed file), SAGE by A's row sums
+        diag = read_pigo_row_sums(graph_t_path if norm == "gcn" else graph_path)
 
-        def fwd_slab(j: int) -> CSRData:
-            s = read_pigo_csr_slab(graph_t_path, j * m_loc, (j + 1) * m_loc)
-            scale = colsum[j * m_loc : (j + 1) * m_loc]
+        def row_scaled(path: str, j: int) -> CSRData:
+            s = read_pigo_csr_slab(path, j * m_loc, (j + 1) * m_loc)
+            scale = diag[j * m_loc : (j + 1) * m_loc]
             data = (
                 s.data.astype(np.float64)
                 / np.repeat(scale, np.diff(s.indptr).astype(np.int64))
             ).astype(np.float32)
             return CSRData(s.indptr, s.indices, data, s.shape)
 
-        def bwd_slab(j: int) -> CSRData:
-            s = read_pigo_csr_slab(graph_path, j * m_loc, (j + 1) * m_loc)
+        def entry_scaled(path: str, j: int) -> CSRData:
+            s = read_pigo_csr_slab(path, j * m_loc, (j + 1) * m_loc)
             data = (
-                s.data.astype(np.float64) / colsum[s.indices.astype(np.int64)]
+                s.data.astype(np.float64) / diag[s.indices.astype(np.int64)]
             ).astype(np.float32)
             return CSRData(s.indptr, s.indices, data, s.shape)
+
+        if norm == "gcn":  # (fwd, bwd) = (Âᵀ, Â)
+            fwd_slab = functools.partial(row_scaled, graph_t_path)
+            bwd_slab = functools.partial(entry_scaled, graph_path)
+        else:  # (fwd, bwd) = (M, Mᵀ)
+            fwd_slab = functools.partial(row_scaled, graph_path)
+            bwd_slab = functools.partial(entry_scaled, graph_t_path)
 
         make = (
             DistHaloGatherMat.from_slabs

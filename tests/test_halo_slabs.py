@@ -183,3 +183,27 @@ def test_gather_from_slabs_matches_from_csr():
             np.testing.assert_array_equal(
                 np.asarray(va), np.asarray(vb), err_msg=f
             )
+
+
+@pytest.mark.parametrize("engine", ["xla", "gather"])
+def test_from_pigo_sage_norm_matches(tmp_path, engine):
+    """norm="sage": the (M, Mᵀ) mean-aggregator pair from slabs must match
+    normalize(axis=False) → transpose → from_csr_pair."""
+    from mg_gcn_tpu.formats import ensure_pigo_transpose
+
+    g = sparse.random_graph(192, 6, seed=23, weights="random")
+    d = os.path.join(tmp_path, "ds")
+    os.makedirs(d)
+    write_pigo_csr(os.path.join(d, "graph.bin"), g)
+    tpath = ensure_pigo_transpose(d)
+
+    parts = 4
+    m = sparse.normalize(g, axis=False)
+    m_t = sparse.transpose(m)
+    want = dist_halo.DistHaloPair.from_csr_pair(m, m_t, parts, engine=engine)
+    got = dist_halo.DistHaloPair.from_pigo(
+        os.path.join(d, "graph.bin"), tpath, parts, engine=engine, norm="sage"
+    )
+    assert got.fwd.round_widths == want.fwd.round_widths
+    assert got.bwd.halo_total == want.bwd.halo_total
+    _field_trees_match(got, want)

@@ -537,6 +537,26 @@ def main() -> None:
             w8_epoch_s, w8losses, w8accs = run_epochs(
                 step, w8params, w8opt, wpair8, "weighted-int8"
             )
+            # int8-mode SDDMM on the same schedule (per-feature quantized
+            # selects at the int8 MXU rate; ~1% relerr — the bf16 figure
+            # above stays the headline, this records the 8-bit option)
+            sa8 = jnp.asarray(
+                np.random.default_rng(9).standard_normal((N, 128)).astype(np.float32)
+            )
+            float(sddmm_chain(wpair8.fwd, sa8))  # compile
+            s0 = time.perf_counter()
+            float(sddmm_chain(wpair8.fwd, sa8))
+            raw8 = time.perf_counter() - s0
+            sddmm8_s = max(raw8 - disp, raw8 * 0.5) / CHAIN
+            weighted_meta["sddmm_int8_seconds"] = sddmm8_s
+            weighted_meta["sddmm_int8_edges_per_s"] = nnz / sddmm8_s
+            print(
+                f"[sddmm int8 reddit-scale d=128] {sddmm8_s*1e3:.1f} ms = "
+                f"{nnz/sddmm8_s/1e9:.2f} Gedge/s",
+                file=sys.stderr,
+            )
+            sa8 = None  # noqa: F841
+
             out_health.update(health("weighted_int8", w8losses, w8accs))
             weighted_meta["weighted_int8_epoch_seconds"] = w8_epoch_s
             weighted_meta["weighted_int8_edges_per_s"] = (

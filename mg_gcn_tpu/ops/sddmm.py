@@ -94,12 +94,14 @@ def _sddmm_kernel_qskip(
         q1 = (qw >> 8) & 0xFF
 
         def qbody(qq, ar):
-            mq = (qv == qq).astype(cdtype)
+            mq = qv == qq
+            # int8 vector multiplies do not legalize on v5e — select instead
+            sel_q = jnp.where(mq, sel, 0) if int8 else sel * mq.astype(cdtype)
             a_sub = a_ref[pl.ds(qq * BC, BC), :]
             if a_sub.dtype != cdtype:
                 a_sub = a_sub.astype(cdtype)
             return ar + jax.lax.dot_general(
-                a_sub, sel * mq, (((0,), (0,)), ((), ())),
+                a_sub, sel_q, (((0,), (0,)), ((), ())),
                 preferred_element_type=acc_t, precision=prec,
             )
 
@@ -181,10 +183,18 @@ def _sddmm_kernel(
             sel = (iota_l == m_adj_all[c : c + 1, :]).astype(cdtype)
             ar = None
             for qq in range(nq):
-                mq = (qv == qq).astype(cdtype)  # (1, K) lane mask
+                mq = qv == qq  # (1, K) lane mask
+                if int8:
+                    # v5e Mosaic cannot legalize an int8×int8 vector
+                    # multiply (arith.muli on i8 — found round 5 when the
+                    # bench first ran int8 SDDMM through the two-level
+                    # select on hardware); a lane select legalizes fine
+                    sel_q = jnp.where(mq, sel, 0)
+                else:
+                    sel_q = sel * mq.astype(cdtype)
                 part = jax.lax.dot_general(
                     a_blk[qq * BC : (qq + 1) * BC, :],
-                    sel * mq,
+                    sel_q,
                     (((0,), (0,)), ((), ())),
                     preferred_element_type=acc_t,
                     precision=prec,

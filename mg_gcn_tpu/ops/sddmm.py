@@ -32,6 +32,14 @@ form because the d-index survives until the final reduce — it does NOT
 commute with the dense-tile form, whose contraction crosses features).
 Padding slots yield exactly 0 (their one-hot column in Hr is zeroed).
 
+Step order (round 5): the kernel visits steps sorted by COLUMN WINDOW so
+each (BCW, d) operand window stays VMEM-resident across its consecutive
+steps — the schedule's natural (row-tile, window) order re-fetched a fresh
+window nearly every step, ~165 GB per Reddit-scale SDDMM and the measured
+kernel bound. Legal because SDDMM has no cross-step accumulation; the
+grid-sequential scores are un-permuted back to the slot layout with one
+row gather after the call (PERF.md round 5).
+
 Gradients: see :mod:`.edge_attention` — ``dA = M(g) @ B`` rides the
 weighted SpMM and ``dB = Mᵀ(g) @ A`` the transposed-schedule kernel
 (``spmm_edge_tiles_t``), both in this same slot layout.

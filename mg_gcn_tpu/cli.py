@@ -239,9 +239,14 @@ def cmd_train(opts) -> int:
     # the header-only load keeps graph.bin on disk and the halo pair builds
     # from per-process row slabs (DistHaloPair.from_pigo). Other engines
     # (pattern is gated off multi-process; coo/gather build from the full
-    # CSR) still load it.
+    # CSR) still load it. Gated on a REAL multi-process runtime: a
+    # single-process --multihost run gains nothing from slabs and would
+    # lose the pattern-engine auto-pick (round-5 review).
+    import jax as _jax
+
     slab_graph = (
         opts.multihost
+        and _jax.process_count() > 1
         and opts.P > 1
         and opts.R == 1
         and opts.impl in ("halo", "auto")
@@ -479,6 +484,36 @@ def _train_col(opts, ds, config, hparams, params, opt_state, timers):
     return params, opt_state, 0
 
 
+def _slab_halo_pair(graph_header, P, mesh, norm: str):
+    """Shared multihost slab ceremony: engine gate, write-once graph_t.bin
+    (process 0 + barrier), then the per-process from_pigo pair build —
+    used by both the GCN and SAGE dist paths (round-5 review: keep the
+    barrier/transpose logic in ONE place)."""
+    import jax
+
+    from .formats import ensure_pigo_transpose
+    from .parallel import dist_halo
+    from .train import halo_engine
+
+    engine = halo_engine(graph_header, P)
+    d_dir = os.path.dirname(graph_header.path)
+    if jax.process_index() == 0:
+        ensure_pigo_transpose(d_dir)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"graph_t_ready_{norm}")
+    dpair = dist_halo.DistHaloPair.from_pigo(
+        graph_header.path,
+        os.path.join(d_dir, "graph_t.bin"),
+        P,
+        mesh=mesh,
+        engine=engine,
+        norm=norm,
+    )
+    return dpair, ("halo_gather" if engine == "gather" else "halo"), engine
+
+
 def _train_dist(opts, ds, config, hparams, params, opt_state, timers):
     import jax
     import jax.numpy as jnp
@@ -584,33 +619,16 @@ def _train_dist(opts, ds, config, hparams, params, opt_state, timers):
                 from .parallel import dist_halo
                 from .train import halo_engine
 
-                engine = halo_engine(ds.graph, P)
                 if isinstance(ds.graph, GraphHeader):
-                    # per-process slab build: graph_t.bin written once by
-                    # process 0 (prep writes it for new datasets; generated
-                    # here as a one-time migration for old ones), everyone
-                    # else waits at the barrier
-                    from .formats import ensure_pigo_transpose
-
-                    d_dir = os.path.dirname(ds.graph.path)
-                    if jax.process_index() == 0:
-                        ensure_pigo_transpose(d_dir)
-                    if jax.process_count() > 1:
-                        from jax.experimental import multihost_utils
-
-                        multihost_utils.sync_global_devices("graph_t_ready")
-                    dpair = dist_halo.DistHaloPair.from_pigo(
-                        ds.graph.path,
-                        os.path.join(d_dir, "graph_t.bin"),
-                        P,
-                        mesh=mesh,
-                        engine=engine,
+                    dpair, pair_kind, engine = _slab_halo_pair(
+                        ds.graph, P, mesh, norm="gcn"
                     )
                 else:
+                    engine = halo_engine(ds.graph, P)
                     dpair = dist_halo.DistHaloPair.from_csr_pair(
                         a_t, a, P, engine=engine
                     )
-                pair_kind = "halo_gather" if engine == "gather" else "halo"
+                    pair_kind = "halo_gather" if engine == "gather" else "halo"
                 if engine == "gather":
                     print("halo local engine: serial-gather", file=sys.stderr)
                 moved = P * sum(dpair.fwd.round_widths)
@@ -703,28 +721,8 @@ def _train_dist_sage(opts, ds, config, hparams, params, opt_state, timers):
             m_t = host_sparse.transpose(m)
         if opts.impl in ("halo", "auto") and isinstance(ds.graph, GraphHeader):
             # per-process slab build of the SAGE mean-aggregator pair
-            # (M, Mᵀ) from graph.bin/graph_t.bin (norm="sage")
-            from .formats import ensure_pigo_transpose
-            from .parallel import dist_halo
-            from .train import halo_engine
-
-            engine = halo_engine(ds.graph, P)
-            d_dir = os.path.dirname(ds.graph.path)
-            if jax.process_index() == 0:
-                ensure_pigo_transpose(d_dir)
-            if jax.process_count() > 1:
-                from jax.experimental import multihost_utils
-
-                multihost_utils.sync_global_devices("graph_t_ready_sage")
-            dpair = dist_halo.DistHaloPair.from_pigo(
-                ds.graph.path,
-                os.path.join(d_dir, "graph_t.bin"),
-                P,
-                mesh=mesh,
-                engine=engine,
-                norm="sage",
-            )
-            pair_kind = "halo_gather" if engine == "gather" else "halo"
+            # (M, Mᵀ) from graph.bin/graph_t.bin
+            dpair, pair_kind, _ = _slab_halo_pair(ds.graph, P, mesh, norm="sage")
         elif opts.impl == "halo":
             from .parallel import dist_halo
             from .train import halo_engine

@@ -174,15 +174,28 @@ def read_pigo_csr_slab(path: str | os.PathLike, r0: int, r1: int) -> CSRData:
 
 def read_pigo_nrows(path: str | os.PathLike) -> int:
     """Row count from a PIGO-CSR header (magic-validated, no data read)."""
-    with open(path, "rb") as f:
-        head = f.read(len(PIGO_MAGIC) + 2 + 8)
-    if head[: len(PIGO_MAGIC)] != PIGO_MAGIC:
-        raise ValueError(
-            f"{path}: bad magic {head[: len(PIGO_MAGIC)]!r}, expected {PIGO_MAGIC!r}"
-        )
-    vdt = _index_dtype(head[len(PIGO_MAGIC)])
-    off = len(PIGO_MAGIC) + 2
-    return int(np.frombuffer(head[off : off + np.dtype(vdt).itemsize], vdt)[0])
+    return read_pigo_header(path).nrows
+
+
+def read_pigo_indptr_at(path: str | os.PathLike, rows) -> np.ndarray:
+    """indptr values at the given row indices, read directly off the file
+    (len(rows) words via mmap — how header-only loads bound per-slab nnz
+    without parsing the graph)."""
+    mm = np.memmap(path, dtype=np.uint8, mode="r")
+    if mm[: len(PIGO_MAGIC)].tobytes() != PIGO_MAGIC:
+        raise ValueError(f"{path}: bad magic, expected {PIGO_MAGIC!r}")
+    off = len(PIGO_MAGIC)
+    vdt = _index_dtype(int(mm[off]))
+    edt = _index_dtype(int(mm[off + 1]))
+    vsz, esz = np.dtype(vdt).itemsize, np.dtype(edt).itemsize
+    ip_off = off + 2 + 3 * vsz + esz  # past widths, n, nnz, nrows, ncols
+    return np.array(
+        [
+            int(np.frombuffer(mm[ip_off + vsz * r : ip_off + vsz * (r + 1)], vdt)[0])
+            for r in rows
+        ],
+        dtype=np.int64,
+    )
 
 
 def read_pigo_row_sums(path: str | os.PathLike, chunk_rows: int = 1 << 22) -> np.ndarray:
@@ -354,7 +367,19 @@ def ensure_pigo_transpose(directory: str | os.PathLike) -> str:
     gpath = os.path.join(d, "graph.bin")
     tpath = os.path.join(d, "graph_t.bin")
     if os.path.exists(tpath):
-        return tpath
+        # freshness guard: a graph.bin overwritten AFTER the transpose was
+        # built (re-run prep, different permutation seed) would otherwise
+        # silently pair a stale Âᵀ with the new Â — same node/edge counts,
+        # wrong matrix (round-5 review). mtime ordering is the cheap
+        # sufficient check; rebuild when stale.
+        if os.path.getmtime(tpath) >= os.path.getmtime(gpath):
+            return tpath
+        import sys
+
+        print(
+            f"{tpath} is older than {gpath}; rebuilding the transpose",
+            file=sys.stderr,
+        )
     from . import sparse as host_sparse  # deferred: sparse imports formats
 
     g_t = host_sparse.transpose(read_pigo_csr(gpath))

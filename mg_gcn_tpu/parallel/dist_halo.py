@@ -226,17 +226,9 @@ class DistHaloMat:
         """Per-process build straight from a PIGO-CSR ``graph.bin``: each
         process mmap-reads ONLY its row slabs (multi-host papers100M
         loading; pair with ``multihost.load_row_sharded`` for features)."""
-        from ..formats import PIGO_MAGIC, _index_dtype, read_pigo_csr_slab
+        from ..formats import read_pigo_csr_slab, read_pigo_nrows
 
-        header = np.memmap(path, dtype=np.uint8, mode="r")
-        if header[: len(PIGO_MAGIC)].tobytes() != PIGO_MAGIC:
-            raise ValueError(
-                f"{path}: bad magic "
-                f"{header[: len(PIGO_MAGIC)].tobytes()!r}, expected {PIGO_MAGIC!r}"
-            )
-        off = len(PIGO_MAGIC) + 2  # magic + (vwidth, ewidth) bytes
-        vdt = _index_dtype(int(header[len(PIGO_MAGIC)]))  # validates width
-        n = int(np.frombuffer(header[off : off + np.dtype(vdt).itemsize], vdt)[0])
+        n = read_pigo_nrows(path)  # magic/width-validated header read
         if n % parts:
             raise ValueError(f"n ({n}) not divisible by parts ({parts})")
         m_loc = n // parts
@@ -922,18 +914,21 @@ class DistHaloPair:
         """
         from ..formats import (
             read_pigo_csr_slab,
-            read_pigo_nrows,
+            read_pigo_header,
             read_pigo_row_sums,
         )
 
         if norm not in ("gcn", "sage"):
             raise ValueError(f"unknown norm {norm!r} (gcn | sage)")
-        n = read_pigo_nrows(graph_path)
-        n_t = read_pigo_nrows(graph_t_path)
-        if n != n_t:
+        h = read_pigo_header(graph_path)
+        h_t = read_pigo_header(graph_t_path)
+        n = h.nrows
+        if n != h_t.nrows or h.nnz != h_t.nnz:
             raise ValueError(
-                f"{graph_path} has {n} rows but {graph_t_path} has {n_t} — "
-                "not a transposed pair"
+                f"{graph_path} ({h.nrows} rows, {h.nnz} edges) and "
+                f"{graph_t_path} ({h_t.nrows} rows, {h_t.nnz} edges) are "
+                "not a transposed pair — regenerate graph_t.bin "
+                "(formats.ensure_pigo_transpose)"
             )
         if n % parts:
             raise ValueError(
@@ -942,8 +937,28 @@ class DistHaloPair:
             )
         m_loc = n // parts
         # the normalization diagonal: GCN divides by A's column sums (= row
-        # sums of the transposed file), SAGE by A's row sums
-        diag = read_pigo_row_sums(graph_t_path if norm == "gcn" else graph_path)
+        # sums of the transposed file), SAGE by A's row sums. Computed ONCE
+        # (process 0) and cached next to the source file — every process
+        # independently streaming the full edge payload for an identical
+        # O(n) vector defeated the touch-1/P-of-the-file design (round-5
+        # review); peers mmap the cached vector after a barrier.
+        import os
+
+        diag_src = graph_t_path if norm == "gcn" else graph_path
+        diag_cache = diag_src + ".rowsums.npy"
+        multi_proc = jax.process_count() > 1
+        fresh = os.path.exists(diag_cache) and os.path.getmtime(
+            diag_cache
+        ) >= os.path.getmtime(diag_src)
+        if not fresh and (not multi_proc or jax.process_index() == 0):
+            tmp = diag_cache + f".{os.getpid()}.tmp.npy"  # .npy: np.save keeps it
+            np.save(tmp, read_pigo_row_sums(diag_src))
+            os.replace(tmp, diag_cache)
+        if multi_proc:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"rowsums_ready_{norm}")
+        diag = np.load(diag_cache, mmap_mode="r")
 
         def row_scaled(path: str, j: int) -> CSRData:
             s = read_pigo_csr_slab(path, j * m_loc, (j + 1) * m_loc)

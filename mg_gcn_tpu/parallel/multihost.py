@@ -45,13 +45,24 @@ def initialize(coordinator_address: str | None = None, **kw) -> None:
     """
     import os
 
-    if coordinator_address is None:
-        coordinator_address = os.environ.get("MG_GCN_COORDINATOR")
-    if coordinator_address is not None:
-        kw.setdefault(
-            "num_processes", int(os.environ.get("MG_GCN_NUM_PROCESSES", 1))
-        )
-        kw.setdefault("process_id", int(os.environ.get("MG_GCN_PROCESS_ID", 0)))
+    env_coord = coordinator_address is None and "MG_GCN_COORDINATOR" in os.environ
+    if env_coord:
+        coordinator_address = os.environ["MG_GCN_COORDINATOR"]
+        # the companion vars are REQUIRED with the env coordinator: a
+        # default of num_processes=1/process_id=0 would let a mis-launched
+        # host initialize a "world of 1" and silently train a partial model
+        # (round-5 review)
+        try:
+            kw.setdefault(
+                "num_processes", int(os.environ["MG_GCN_NUM_PROCESSES"])
+            )
+            kw.setdefault("process_id", int(os.environ["MG_GCN_PROCESS_ID"]))
+        except KeyError as e:
+            raise ValueError(
+                "MG_GCN_COORDINATOR is set but the companion env var "
+                f"{e.args[0]} is missing — set MG_GCN_NUM_PROCESSES and a "
+                "per-host MG_GCN_PROCESS_ID"
+            ) from None
         ldi = os.environ.get("MG_GCN_LOCAL_DEVICE_IDS")
         if ldi and "local_device_ids" not in kw:
             kw["local_device_ids"] = [int(v) for v in ldi.split(",")]

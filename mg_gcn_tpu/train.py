@@ -29,18 +29,24 @@ from .timers import TimerRegistry
 from .ops.spmm_pattern import MEM_BUDGET as PATTERN_MEM_BUDGET  # noqa: E402
 
 
-def _gather_feasible(n_out: int, n_in: int, nnz: int) -> bool:
+def _gather_feasible(
+    n_out: int, n_in: int, nnz: int, r_rows: int | None = None
+) -> bool:
     """Whether a (n_out × n_in, nnz) matrix fits one serial-gather schedule
-    (SMEM step budget + packed-meta bit budget)."""
+    (SMEM step budget + packed-meta bit budget). ``r_rows`` must match the
+    super-tile height the BUILDER that will run actually uses: None mirrors
+    ``gather_schedule_host``'s auto-pick (R_ROWS_BIG past the threshold);
+    callers gating builds that PIN a height (the halo per-block schedules
+    pin R_ROWS) must pass it — a gate modeling a different kernel than the
+    builder approves schedules the builder then refuses (round-5 review)."""
     from .ops import spmm_gather
 
-    # mirror the builder's super-tile auto-pick (gather_schedule_host):
-    # big graphs build with R_ROWS_BIG, so estimate with the same height
-    r_rows = (
-        spmm_gather.R_ROWS_BIG
-        if n_out > spmm_gather.R_BIG_THRESHOLD
-        else spmm_gather.R_ROWS
-    )
+    if r_rows is None:
+        r_rows = (
+            spmm_gather.R_ROWS_BIG
+            if n_out > spmm_gather.R_BIG_THRESHOLD
+            else spmm_gather.R_ROWS
+        )
     n_st = -(-max(n_out, 1) // r_rows)
     n_win = -(-max(n_in, 1) // spmm_gather.W_ROWS)
     # conservative: actual S <= nnz/E_BLK + groups (<= n_st*n_win) +
@@ -92,9 +98,22 @@ def halo_engine(graph: CSRData, parts: int) -> str:
     if indptr is not None and len(indptr) == graph.nrows + 1:
         bounds = np.asarray(indptr)[:: m_loc][: parts + 1]
         slab_nnz = int(np.max(np.diff(bounds))) if bounds.size > 1 else graph.nnz
+    elif getattr(graph, "path", None):
+        # header-loaded graph (multihost slab path): the same exact bound,
+        # from P+1 indptr words read straight off the PIGO file
+        from .formats import read_pigo_indptr_at
+
+        bounds = read_pigo_indptr_at(
+            graph.path, list(range(0, graph.nrows + 1, m_loc))[: parts + 1]
+        )
+        slab_nnz = int(np.max(np.diff(bounds))) if bounds.size > 1 else graph.nnz
     else:
         slab_nnz = -(-graph.nnz // max(parts, 1))
-    if fill < 0.3 and _gather_feasible(m_loc, m_loc, slab_nnz):
+    from .ops import spmm_gather as _sg
+
+    # the halo per-block builders pin r_rows=R_ROWS (dist_halo
+    # stacked_scheds / from_slabs) — gate with the SAME height
+    if fill < 0.3 and _gather_feasible(m_loc, m_loc, slab_nnz, r_rows=_sg.R_ROWS):
         return "gather"
     return "xla"
 

@@ -121,26 +121,32 @@ def run_cli(out: str, procs: int, devs_per_proc: int, port: int):
         )
     args += ["train", out, "1", "32"]
     t0 = time.time()
-    children = []
+    # children log to FILES, not pipes: draining concurrent children's
+    # pipes sequentially can deadlock when a later child fills its 64 KB
+    # pipe while an earlier one is blocked in a collective (round-5 review)
+    children, logs = [], []
     for pid in range(procs):
         env = dict(base_env)
         if procs > 1:
             env["MG_GCN_PROCESS_ID"] = str(pid)
+        lf = open(os.path.join(out, f"rehearsal_proc{pid}.log"), "w+")
+        logs.append(lf)
         children.append(
             subprocess.Popen(
-                args, env=env, cwd=repo,
-                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                args, env=env, cwd=repo, stdout=lf, stderr=subprocess.STDOUT,
             )
         )
     rss, ok = [], True
-    for pid, proc in enumerate(children):
-        for line in proc.stdout:
+    for pid, (proc, lf) in enumerate(zip(children, logs)):
+        proc.wait()
+        ok = ok and proc.returncode == 0
+        lf.seek(0)
+        for line in lf:
             line = line.rstrip()
             if line.startswith("RSSGB "):
                 rss.append(float(line.split()[1]))
             print(f"  |{pid}| {line}", flush=True)
-        proc.wait()
-        ok = ok and proc.returncode == 0
+        lf.close()
     return time.time() - t0, rss, ok
 
 
